@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import graft.functions._
+
+/** Public column API for the engine's custom Catalyst expressions —
+  * the Spark-idiomatic surface replacing the reference's plain Kotlin
+  * utility functions (HTMLParser.kt / Porter.kt / Ranker.kt helpers).
+  * Everything here is codegen-capable; nothing is a Scala UDF. */
+object gfn {
+
+  def porter_stem(c: Column): Column = column(PorterStemExpr(expression(c)))
+  def tokenize_words(c: Column): Column = column(TokenizeWordsExpr(expression(c)))
+  def extract_text(html: Column): Column = column(ExtractTextExpr(expression(html)))
+  def extract_title(html: Column): Column = column(ExtractTitleExpr(expression(html)))
+  def extract_copyright_date(html: Column): Column =
+    column(ExtractCopyrightDateExpr(expression(html)))
+
+  /** Per-page link pipeline; `self=false` drops self-links
+    * (reference: HTMLParser.kt:109-126). */
+  def extract_links(html: Column, baseUrl: Column, filterPrefix: Column,
+                    self: Column): Column =
+    column(ExtractLinksExpr(expression(html), expression(baseUrl),
+      expression(filterPrefix), expression(self)))
+
+  def strip_query_tilde(url: Column): Column = column(StripQueryTildeExpr(expression(url)))
+  def strip_fragment(url: Column): Column = column(StripFragmentExpr(expression(url)))
+  def url_host(url: Column): Column = column(UrlHostExpr(expression(url)))
+  def url_path(url: Column): Column = column(UrlPathExpr(expression(url)))
+
+  def count_phrase(words: Column, phrase: Column): Column =
+    column(CountPhraseExpr(expression(words), expression(phrase)))
+
+  /** Bloom aggregate over a LONG hash column; shape from expected items/fpp. */
+  def bloom_agg(hash: Column, expectedItems: Long, fpp: Double): Column = {
+    val (words, k) = Bloom.shapeFor(expectedItems, fpp)
+    column(BloomAggExpr(expression(hash), words, k).toAggregateExpression())
+  }
+
+  /** Register every custom function for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def reg1(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
+    reg1("porter_stem", PorterStemExpr.apply)
+    reg1("tokenize_words", TokenizeWordsExpr.apply)
+    reg1("extract_text", ExtractTextExpr.apply)
+    reg1("extract_title", ExtractTitleExpr.apply)
+    reg1("extract_copyright_date", ExtractCopyrightDateExpr.apply)
+    reg1("strip_query_tilde", StripQueryTildeExpr.apply)
+    reg1("strip_fragment", StripFragmentExpr.apply)
+    reg1("url_host", UrlHostExpr.apply)
+    reg1("url_path", UrlPathExpr.apply)
+    reg.createOrReplaceTempFunction("extract_links",
+      es => ExtractLinksExpr(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("count_phrase",
+      es => CountPhraseExpr(es(0), es(1)), "built-in")
+  }
+}

@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.html.{Html, UrlCanon}
+import graft.text.{Porter, TextPipeline}
+
+/** Static helpers the generated (whole-stage-codegen) Java calls into.
+  * Every method takes/returns Catalyst internal types so the expressions
+  * below stay inside WholeStageCodegen — no CodegenFallback on the hot
+  * fetch/tokenize path. */
+object ExprImpl {
+
+  def porterStem(s: UTF8String): UTF8String =
+    UTF8String.fromString(Porter.stripAffixes(s.toString))
+
+  def tokenizeWords(s: UTF8String): ArrayData = {
+    val toks = TextPipeline.tokenize(s.toString)
+    val out = new Array[AnyRef](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def extractText(html: Array[Byte]): UTF8String =
+    UTF8String.fromString(Html.parseBytes(html).text)
+
+  /** Title of the first <title> element; "" when absent (the reference's
+    * null-title fallback, HTMLParser.kt:191). */
+  def extractTitle(html: Array[Byte]): UTF8String =
+    UTF8String.fromString(Html.parseBytes(html).title.getOrElse(""))
+
+  private val datePat = java.util.regex.Pattern.compile("(\\d{4})-(\\d{1,2})-(\\d{1,2})")
+
+  /** Copyright-date fallback chain member (HTMLParser.kt:207-221):
+    * plain text of the first <p class="copyright">, all whitespace removed,
+    * the segment between the first "on" and the next "on" (or end), parsed
+    * as a date at midnight UTC. Returns null (SQL NULL) when any step
+    * fails — the caller coalesces with the default literal. Result is
+    * TimestampType micros. */
+  def extractCopyrightDateMicros(html: Array[Byte]): java.lang.Long = {
+    val copy = Html.parseBytes(html).copyright.orNull
+    if (copy == null) return null
+    val compact = copy.replaceAll("\\s", "")
+    val first = compact.indexOf("on")
+    if (first < 0) return null
+    val afterFirst = compact.substring(first + 2)
+    val next = afterFirst.indexOf("on")
+    val piece = if (next < 0) afterFirst else afterFirst.substring(0, next)
+    val m = datePat.matcher(piece)
+    if (!m.matches()) return null
+    val (y, mo, d) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+    if (mo < 1 || mo > 12 || d < 1 || d > 31) return null
+    try {
+      val epochDay = java.time.LocalDate.of(y, mo, d).toEpochDay
+      java.lang.Long.valueOf(epochDay * 86400L * 1000000L)
+    } catch { case _: Exception => null }
+  }
+
+  /** Fused per-page link pipeline (HTMLParser.kt:109-126): href collection,
+    * resolution, query/tilde strip, case-insensitive scope filter, fragment
+    * strip, optional self-exclusion, first-occurrence dedup. */
+  def extractLinks(html: Array[Byte], baseUrl: UTF8String,
+                   filterPrefix: UTF8String, self: Boolean): ArrayData = {
+    val page = Html.parseBytes(html)
+    val links = UrlCanon.extractLinks(page.hrefs, baseUrl.toString,
+      filterPrefix.toString, self)
+    val out = new Array[AnyRef](links.length)
+    var i = 0
+    while (i < links.length) { out(i) = UTF8String.fromString(links(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def stripQueryTilde(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCanon.stripQueryAndTilde(url.toString))
+
+  def stripFragment(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCanon.stripFragment(url.toString))
+
+  def urlHost(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCanon.hostOf(url.toString))
+
+  def urlPath(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCanon.pathOf(url.toString))
+
+  /** Non-overlapping left-to-right count of `phrase` inside `words` —
+    * the array-equality equivalent of the reference's quoted-CSV substring
+    * count (Ranker.kt:64-76, StringUtils.countMatches): identical on CSV
+    * token boundaries because every token is quoted. */
+  def countPhrase(words: ArrayData, phrase: ArrayData): Int = {
+    val n = words.numElements()
+    val m = phrase.numElements()
+    if (m == 0 || m > n) return 0
+    var count = 0
+    var i = 0
+    while (i <= n - m) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        if (words.getLong(i + j) != phrase.getLong(j)) ok = false
+        j += 1
+      }
+      if (ok) { count += 1; i += m } // non-overlapping: skip the match
+      else i += 1
+    }
+    count
+  }
+}
+
+trait GraftUnaryString { self: UnaryExpression =>
+  override def nullIntolerant: Boolean = true
+  protected def implCall: String
+  protected def implEval(v: Any): Any
+  override protected def nullSafeEval(v: Any): Any = implEval(v)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.$implCall($c)")
+}
+
+/** Porter stem of a string column (reference: util/Porter.kt). */
+case class PorterStemExpr(child: Expression) extends UnaryExpression with GraftUnaryString {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "porter_stem"
+  protected def implCall = "porterStem"
+  protected def implEval(v: Any): Any = ExprImpl.porterStem(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Document tokenizer (reference: util/HTMLParser.kt:89-100). */
+case class TokenizeWordsExpr(child: Expression) extends UnaryExpression with GraftUnaryString {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_words"
+  protected def implCall = "tokenizeWords"
+  protected def implEval(v: Any): Any = ExprImpl.tokenizeWords(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Visible text of an html:BINARY page (reference: HTMLParser.kt:102-107
+  * + org.htmlparser StringBean; byte-identical per-url invariant). */
+case class ExtractTextExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "extract_text"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.extractText(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractText($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Title of an html:BINARY page (reference: HTMLParser.kt:186-195). */
+case class ExtractTitleExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "extract_title"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.extractTitle(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.extractTitle($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Copyright-paragraph date of an html:BINARY page, nullable
+  * (reference: HTMLParser.kt:197-223). */
+case class ExtractCopyrightDateExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_copyright_date"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.extractCopyrightDateMicros(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("boxedTs")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${c.isNull}) {
+          java.lang.Long $boxed = graft.functions.ExprImpl.extractCopyrightDateMicros(${c.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+        }
+      """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused link-extraction pipeline over (html BINARY, base STRING,
+  * filterPrefix STRING, self BOOLEAN) → ARRAY<STRING>
+  * (reference: HTMLParser.kt:109-126 + LinkBean). */
+case class ExtractLinksExpr(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "extract_links"
+  override protected def nullSafeEval(html: Any, base: Any, prefix: Any, self: Any): Any =
+    ExprImpl.extractLinks(html.asInstanceOf[Array[Byte]], base.asInstanceOf[UTF8String],
+      prefix.asInstanceOf[UTF8String], self.asInstanceOf[Boolean])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, b, p, s) =>
+      s"graft.functions.ExprImpl.extractLinks($h, $b, $p, $s)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+case class StripQueryTildeExpr(child: Expression) extends UnaryExpression with GraftUnaryString {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_query_tilde"
+  protected def implCall = "stripQueryTilde"
+  protected def implEval(v: Any): Any = ExprImpl.stripQueryTilde(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class StripFragmentExpr(child: Expression) extends UnaryExpression with GraftUnaryString {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_fragment"
+  protected def implCall = "stripFragment"
+  protected def implEval(v: Any): Any = ExprImpl.stripFragment(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class UrlHostExpr(child: Expression) extends UnaryExpression with GraftUnaryString {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_host"
+  protected def implCall = "urlHost"
+  protected def implEval(v: Any): Any = ExprImpl.urlHost(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class UrlPathExpr(child: Expression) extends UnaryExpression with GraftUnaryString {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_path"
+  protected def implCall = "urlPath"
+  protected def implEval(v: Any): Any = ExprImpl.urlPath(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Non-overlapping phrase count over ARRAY<LONG> forward indexes
+  * (reference: Ranker.kt:52-77). */
+case class CountPhraseExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_phrase"
+  override protected def nullSafeEval(words: Any, phrase: Any): Any =
+    ExprImpl.countPhrase(words.asInstanceOf[ArrayData], phrase.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, p) => s"graft.functions.ExprImpl.countPhrase($w, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

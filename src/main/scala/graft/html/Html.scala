@@ -1,0 +1,214 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Parsed view of one HTML page: everything the engine extracts from the
+  * `html: BINARY` column in a single scan.
+  *
+  * From-scratch replacement for the reference's org.htmlparser beans
+  * (reference: `src/main/kotlin/util/HTMLParser.kt:102-126,141-223`,
+  * `StringBean`/`LinkBean`/`Parser`). The observable contract (pinned by
+  * the fixture corpus, see FIXTURES.md §1):
+  *
+  *  - `text`: all text nodes outside `<script>`/`<style>`, entities
+  *    decoded (`&nbsp;` → ordinary space), tag boundaries acting as
+  *    whitespace, every whitespace run collapsed to a single space,
+  *    leading/trailing whitespace trimmed. This is the byte-identical
+  *    per-url invariant vs the `pages.text` column.
+  *  - `title`: decoded text content of the FIRST `<title>` element
+  *    (HTMLParser.kt:186-195 takes the title tag's last child — for plain
+  *    titles that is its text), None when absent.
+  *  - `hrefs`: `href` attribute of every `<a>` tag in document order,
+  *    entity-decoded, NOT resolved or canonicalized.
+  *  - `copyright`: decoded plain text of the FIRST `<p class="copyright">`
+  *    (HTMLParser.kt:207-215), inner tags stripped, un-collapsed.
+  */
+final case class ParsedPage(
+    text: String,
+    title: Option[String],
+    hrefs: Vector[String],
+    copyright: Option[String])
+
+object Html {
+
+  def parseBytes(html: Array[Byte]): ParsedPage =
+    parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+
+  def parse(html: String): ParsedPage = {
+    val n = html.length
+    val text = new java.lang.StringBuilder(n / 2)
+    val hrefs = ArrayBuffer.empty[String]
+    var title: String = null
+    var copyright: String = null
+
+    var titleBuf: java.lang.StringBuilder = null    // non-null while inside first <title>
+    var copyBuf: java.lang.StringBuilder = null     // non-null while inside first <p class=copyright>
+    var lastWasSpace = true                          // collapse state; true ⇒ swallow leading ws
+
+    def emit(c: Char): Unit = {
+      if (titleBuf != null) titleBuf.append(c)
+      if (copyBuf != null) copyBuf.append(c)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00a0') {
+        if (!lastWasSpace) { text.append(' '); lastWasSpace = true }
+      } else { text.append(c); lastWasSpace = false }
+    }
+
+    def emitTagBreak(): Unit = {
+      if (!lastWasSpace) { text.append(' '); lastWasSpace = true }
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+          emitTagBreak()
+        } else {
+          val tagEnd = html.indexOf('>', i)
+          if (tagEnd < 0) { i = n } // truncated tag: drop the rest
+          else {
+            val rawTag = html.substring(i + 1, tagEnd)
+            val closing = rawTag.startsWith("/")
+            val body = if (closing) rawTag.substring(1) else rawTag
+            val name = tagName(body)
+            emitTagBreak()
+            if (!closing) {
+              if (name == "script" || name == "style") {
+                // skip raw content until the matching close tag
+                val close = indexOfIgnoreCase(html, "</" + name, tagEnd + 1)
+                i = if (close < 0) n
+                    else {
+                      val gt = html.indexOf('>', close)
+                      if (gt < 0) n else gt + 1
+                    }
+              } else {
+                if (name == "a") {
+                  attrValue(body, "href").foreach(h => hrefs += decodeEntities(h))
+                } else if (name == "title" && title == null && titleBuf == null) {
+                  titleBuf = new java.lang.StringBuilder
+                } else if (name == "p" && copyright == null && copyBuf == null &&
+                           attrValue(body, "class").contains("copyright")) {
+                  copyBuf = new java.lang.StringBuilder
+                }
+                i = tagEnd + 1
+              }
+            } else {
+              // buffers already received decoded chars via emit()
+              if (name == "title" && titleBuf != null) {
+                title = titleBuf.toString; titleBuf = null
+              } else if (name == "p" && copyBuf != null) {
+                copyright = copyBuf.toString; copyBuf = null
+              }
+              i = tagEnd + 1
+            }
+          }
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntityAt(html, i)
+        var j = 0
+        while (j < decoded.length) { emit(decoded.charAt(j)); j += 1 }
+        i = next
+      } else {
+        emit(c)
+        i += 1
+      }
+    }
+
+    // trim the single trailing space the collapse may have left
+    val t = text.toString
+    val trimmed = if (t.nonEmpty && t.charAt(t.length - 1) == ' ') t.substring(0, t.length - 1) else t
+    ParsedPage(trimmed, Option(title), hrefs.toVector, Option(copyright))
+  }
+
+  private def tagName(tagBody: String): String = {
+    var i = 0
+    val n = tagBody.length
+    while (i < n && isNameChar(tagBody.charAt(i))) i += 1
+    tagBody.substring(0, i).toLowerCase
+  }
+
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** Value of an attribute inside a tag body; supports double-, single-,
+    * and un-quoted values. Returns the raw (undecoded) value. */
+  private[html] def attrValue(tagBody: String, attr: String): Option[String] = {
+    val lower = tagBody.toLowerCase
+    var from = 0
+    while (true) {
+      val at = lower.indexOf(attr, from)
+      if (at < 0) return None
+      // must be a standalone attribute name
+      val beforeOk = at == 0 || !isNameChar(lower.charAt(at - 1))
+      var i = at + attr.length
+      while (i < tagBody.length && Character.isWhitespace(tagBody.charAt(i))) i += 1
+      if (beforeOk && i < tagBody.length && tagBody.charAt(i) == '=') {
+        i += 1
+        while (i < tagBody.length && Character.isWhitespace(tagBody.charAt(i))) i += 1
+        if (i >= tagBody.length) return Some("")
+        val q = tagBody.charAt(i)
+        if (q == '"' || q == '\'') {
+          val end = tagBody.indexOf(q, i + 1)
+          return Some(if (end < 0) tagBody.substring(i + 1) else tagBody.substring(i + 1, end))
+        } else {
+          var end = i
+          while (end < tagBody.length && !Character.isWhitespace(tagBody.charAt(end))) end += 1
+          return Some(tagBody.substring(i, end))
+        }
+      }
+      from = at + 1
+    }
+    None
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val ln = needle.toLowerCase
+    var i = math.max(from, 0)
+    val limit = s.length - needle.length
+    while (i <= limit) {
+      if (s.regionMatches(true, i, ln, 0, ln.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode one entity starting at position i ('&'); returns (text, nextIndex). */
+  private def decodeEntityAt(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ("&", i + 1)
+    val name = s.substring(i + 1, semi)
+    val decoded = name match {
+      case "nbsp" => " " // StringBean-style non-breaking-space replacement
+      case "amp"  => "&"
+      case "lt"   => "<"
+      case "gt"   => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case _ if name.startsWith("#x") || name.startsWith("#X") =>
+        try String.valueOf(Integer.parseInt(name.substring(2), 16).toChar)
+        catch { case _: Exception => null }
+      case _ if name.startsWith("#") =>
+        try String.valueOf(Integer.parseInt(name.substring(1)).toChar)
+        catch { case _: Exception => null }
+      case _ => null
+    }
+    if (decoded == null) ("&", i + 1) else (decoded, semi + 1)
+  }
+
+  private[html] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') {
+        val (d, next) = decodeEntityAt(s, i)
+        // inside attributes/captures, nbsp decodes to the same space
+        sb.append(d)
+        i = next
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+}

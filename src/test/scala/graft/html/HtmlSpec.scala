@@ -1,0 +1,100 @@
+package graft.html
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlSpec extends AnyFunSuite {
+
+  private val page =
+    """<html><head><title>CSE &amp; Research</title>
+      |<script>var x = "<b>ignored</b>";</script>
+      |<style>.a { color: red; }</style></head>
+      |<body>
+      |<p>Hello&nbsp;world, this   is
+      |text.</p>
+      |<!-- a comment <a href="http://comment.test/"> -->
+      |<a href="https://host0.test/p1.html">link one</a>
+      |<a HREF='p2.html#frag'>relative</a>
+      |<a name="anchor-without-href">no href</a>
+      |<p class="copyright">Copyright updated on 2019-03-01 by CSE</p>
+      |</body></html>""".stripMargin
+
+  private val parsed = Html.parse(page)
+
+  test("text: entities decoded, script/style/comments skipped, whitespace collapsed") {
+    assert(parsed.text ==
+      "CSE & Research Hello world, this is text. link one relative no href Copyright updated on 2019-03-01 by CSE")
+  }
+
+  test("title: first <title> content, entities decoded") {
+    assert(parsed.title.contains("CSE & Research"))
+  }
+
+  test("hrefs: <a href> values in document order, unresolved") {
+    assert(parsed.hrefs == Vector("https://host0.test/p1.html", "p2.html#frag"))
+  }
+
+  test("copyright: first <p class=copyright> plain text") {
+    assert(parsed.copyright.contains("Copyright updated on 2019-03-01 by CSE"))
+  }
+
+  test("no title / no copyright → None") {
+    val p = Html.parse("<html><body>plain</body></html>")
+    assert(p.title.isEmpty && p.copyright.isEmpty && p.text == "plain")
+  }
+
+  test("nested tags inside copyright paragraph are stripped") {
+    val p = Html.parse("""<p class="copyright">Made <b>on</b> 2020-01-02</p>""")
+    assert(p.copyright.contains("Made on 2020-01-02"))
+  }
+}
+
+class UrlCanonSpec extends AnyFunSuite {
+
+  test("query string stripped before tilde truncation") {
+    assert(UrlCanon.stripQueryAndTilde("https://h.test/a.html?q=1") == "https://h.test/a.html")
+    assert(UrlCanon.stripQueryAndTilde("https://h.test/~user/deep/page.html") == "https://h.test/~user/")
+  }
+
+  test("tilde with no following slash yields the empty string (reference quirk)") {
+    assert(UrlCanon.stripQueryAndTilde("https://h.test/~user") == "")
+  }
+
+  test("fragment strip is separate (runs after the scope filter)") {
+    assert(UrlCanon.stripFragment("https://h.test/a.html#sec") == "https://h.test/a.html")
+  }
+
+  test("full pipeline: order of filter vs fragment strip (reference quirk)") {
+    // the scope filter sees the fragment: an out-of-scope page whose
+    // FRAGMENT contains the seed prefix is (wrongly but faithfully) kept
+    val links = UrlCanon.extractLinks(
+      hrefs = Seq("https://other.test/page#https://seed.test/"),
+      pageUrl = "https://seed.test/index.html",
+      filterPrefix = "https://seed.test/", self = true)
+    assert(links == Vector("https://other.test/page"))
+  }
+
+  test("full pipeline: resolution, dedup, self-exclusion") {
+    val links = UrlCanon.extractLinks(
+      hrefs = Seq("p1.html", "./p1.html?x=2", "/p2.html", "#top",
+        "https://seed.test/index.html", "https://elsewhere.test/x"),
+      pageUrl = "https://seed.test/index.html",
+      filterPrefix = "https://seed.test/", self = false)
+    // p1 deduped (query stripped), #top resolves to the page itself (self-dropped),
+    // absolute self dropped, out-of-scope dropped
+    assert(links == Vector("https://seed.test/p1.html", "https://seed.test/p2.html"))
+  }
+
+  test("case-insensitive scope filter") {
+    val links = UrlCanon.extractLinks(
+      hrefs = Seq("HTTPS://SEED.TEST/P1.HTML"),
+      pageUrl = "https://seed.test/",
+      filterPrefix = "https://seed.test/", self = true)
+    assert(links.nonEmpty)
+  }
+
+  test("host and path helpers") {
+    assert(UrlCanon.hostOf("https://Host3.TEST/~u/p.html") == "host3.test")
+    assert(UrlCanon.pathOf("https://host3.test/~u/p.html") == "/~u/p.html")
+    assert(UrlCanon.pathOf("https://host3.test") == "/")
+  }
+}
