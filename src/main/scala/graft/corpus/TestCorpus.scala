@@ -1,0 +1,232 @@
+package graft.corpus
+
+import java.sql.Timestamp
+import scala.collection.mutable.ArrayBuffer
+
+/** One row of the `pages` input table — exactly BASELINE.json:input_hint:
+  * pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING).
+  * `text` is the oracle-defined visible text: the engine's ExtractText(html)
+  * must reproduce it byte-identically (the per-row invariant). */
+final case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Deterministic synthetic Common-Crawl-style corpus (seed-pure; no
+  * external data — FIXTURES.md §1). The generator CONSTRUCTS html and the
+  * expected visible text together from the same fragments, so the
+  * byte-identity test of ExtractText is constructive, not circular.
+  *
+  * Construct inventory exercises every reference quirk:
+  * tilde paths (HTMLParser.kt:114-120), ?query / #fragment suffixes
+  * (:113,:122), out-of-scope links (:121), self links (:123), duplicate
+  * links (:124), script/style exclusion, &nbsp;, stopwords incl. the
+  * dropped 'z', short-stem words, metric-prefix words, copyright dates.
+  */
+object TestCorpus {
+
+  /** Zipf-ish host sizes: host0 is the hot host. */
+  final case class Spec(
+      hosts: Int,
+      basePagesPerHost: Int,
+      seed: Long = 42L,
+      zipfExponent: Double = 1.0,
+      copyrightEvery: Int = 7,
+      nullTsEvery: Int = 13,
+      robots: Boolean = true)
+
+  val tiny: Spec = Spec(hosts = 4, basePagesPerHost = 12)
+  val small: Spec = Spec(hosts = 8, basePagesPerHost = 260)
+  def bench(hosts: Int, basePagesPerHost: Int): Spec =
+    Spec(hosts = hosts, basePagesPerHost = basePagesPerHost)
+
+  def seedUrl: String = "https://host0.test/"
+  /** Scope filter — reference semantics are substring-contains, so a
+    * suffix shared by every in-corpus host scopes the crawl. */
+  def filterPrefix: String = ".test/"
+
+  /** Simple 64-bit LCG (MMIX constants) — deterministic across JVMs. */
+  final class Lcg(seed: Long) {
+    private var s = seed
+    def nextLong(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    def nextInt(n: Int): Int = {
+      val v = (nextLong() >>> 33).toInt
+      ((v % n) + n) % n
+    }
+    def nextDouble(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  // Word inventory: stopwords (incl. 'z' — NOT effective), short-stem words,
+  // stemmable words pinning Porter behavior (see PorterSpec).
+  private val stopWords = Vector("the", "of", "and", "in", "on", "is", "it", "as", "at", "z")
+  private val shortStem = Vector("ties", "dying", "ab", "sky")
+  private val contentWords = Vector(
+    "universities", "research", "researchers", "engineering", "computing",
+    "networks", "systems", "happy", "relational", "generalization",
+    "organiser", "kilograms", "programming", "algorithms", "databases",
+    "learning", "science", "hong", "kong", "connection", "optimization",
+    "conditional", "motoring", "falling", "agreed", "plastered",
+    "visualization", "graphics", "compilers", "theory", "robotics",
+    "vision", "language", "models", "distributed", "storage", "crawler",
+    "ranking", "indexing", "retrieval")
+
+  private def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def collapse(s: String): String =
+    s.replaceAll("[\\s ]+", " ").trim
+
+  /** Builds html and expected visible text from the same fragments. */
+  private final class PageBuilder {
+    private val html = new StringBuilder
+    private val textParts = ArrayBuffer.empty[String]
+    def raw(s: String): this.type = { html.append(s); this }
+    def visible(s: String): this.type = {
+      html.append(escapeHtml(s))
+      val c = collapse(s)
+      if (c.nonEmpty) textParts += c
+      this
+    }
+    /** visible fragment whose html form uses &nbsp; between the two words */
+    def visibleNbsp(a: String, b: String): this.type = {
+      html.append(escapeHtml(a)).append("&nbsp;").append(escapeHtml(b))
+      textParts += collapse(a + " " + b)
+      this
+    }
+    def bytes: Array[Byte] = html.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def text: String = textParts.mkString(" ")
+  }
+
+  private def hostName(h: Int): String = s"host$h.test"
+
+  /** Page urls for a host: the root page (h==0 only has the crawl seed as
+    * its root), plain pages, and tilde directory pages (whose canonical
+    * form ends in '/'). */
+  private def pageUrls(spec: Spec): Vector[String] = {
+    val out = ArrayBuffer.empty[String]
+    for (h <- 0 until spec.hosts) {
+      val host = hostName(h)
+      // Zipf host sizing: host h gets base / (h+1)^z pages (min 3)
+      val n = math.max(3,
+        (spec.basePagesPerHost / math.pow(h + 1, spec.zipfExponent)).toInt)
+      out += s"https://$host/"
+      for (i <- 0 until n) out += s"https://$host/p$i.html"
+      val tildeUsers = math.max(1, n / 6)
+      for (k <- 0 until tildeUsers) out += s"https://$host/~u$k/"
+      if (spec.robots) {
+        // a disallowed subtree that IS linked (exercises robots filtering)
+        out += s"https://$host/private/x.html"
+      }
+    }
+    out.toVector
+  }
+
+  def generate(spec: Spec): Vector[PageRow] = {
+    val rng = new Lcg(spec.seed)
+    val urls = pageUrls(spec)
+    val urlIdx = urls.zipWithIndex.toMap
+    val baseTs = 1546300800000L // 2019-01-01T00:00:00Z
+
+    val rows = urls.zipWithIndex.map { case (url, i) =>
+      val host = graft.html.UrlCanon.hostOf(url)
+      val b = new PageBuilder
+
+      // --- head ---
+      b.raw("<html><head><title>")
+      val titleWords = (0 to rng.nextInt(3)).map(_ =>
+        contentWords(rng.nextInt(contentWords.length)))
+      b.visible(titleWords.mkString(" ") + " page " + i)
+      b.raw("</title><script>var hidden = \"<b>never text</b>\";</script>" +
+        "<style>.x{color:red}</style></head><body>")
+
+      // --- paragraphs ---
+      val nPara = 1 + rng.nextInt(3)
+      for (_ <- 0 until nPara) {
+        b.raw("<p>")
+        val nw = 4 + rng.nextInt(10)
+        val words = (0 until nw).map { _ =>
+          rng.nextInt(4) match {
+            case 0 => stopWords(rng.nextInt(stopWords.length))
+            case 1 if rng.nextInt(3) == 0 => shortStem(rng.nextInt(shortStem.length))
+            case _ => contentWords(rng.nextInt(contentWords.length))
+          }
+        }
+        b.visible(words.mkString(" "))
+        if (rng.nextInt(3) == 0) { b.raw(" "); b.visibleNbsp("hong", "kong") }
+        b.raw("</p>")
+      }
+
+      // --- links ---
+      val sameHost = urls.filter(u => u.contains(host) && u != url)
+      val nLinks = math.min(2 + rng.nextInt(5), sameHost.size)
+      val targets = ArrayBuffer.empty[String]
+      // chain link keeps the host graph connected: page i → page i+1 (global)
+      if (i + 1 < urls.length) targets += urls(i + 1)
+      for (_ <- 0 until nLinks)
+        targets += sameHost(rng.nextInt(sameHost.size))
+      // occasional cross-host link
+      if (rng.nextInt(3) == 0)
+        targets += urls(rng.nextInt(urls.length))
+      // root page links to every host's root (reachability)
+      if (url == seedUrl)
+        for (h <- 0 until spec.hosts) targets += s"https://${hostName(h)}/"
+
+      var linkNo = 0
+      targets.foreach { t =>
+        // noise variants exercising the canonicalization pipeline
+        val href = rng.nextInt(8) match {
+          case 0 => t + "?session=abc"
+          case 1 => t + "#section2"
+          case 2 if t.endsWith("/") && t.contains("~") => t + "deep/page.html" // tilde-truncates back to t
+          case 3 => "https://outside.example/away.html"                        // out of scope
+          case 4 => url // self link
+          case _ => t
+        }
+        b.raw(s"""<a href="$href">""")
+        b.visible("link " + linkNo)
+        b.raw("</a> ")
+        linkNo += 1
+      }
+      // duplicate link (deduped by the pipeline)
+      if (targets.nonEmpty) {
+        b.raw(s"""<a href="${targets.head}">""")
+        b.visible("again")
+        b.raw("</a>")
+      }
+      // the fragment-quirk link: out-of-scope page kept because its
+      // FRAGMENT contains the scope substring (HTMLParser.kt:121-122 order)
+      if (rng.nextInt(17) == 0) {
+        b.raw("""<a href="https://outside.example/trap#x.test/y">""")
+        b.visible("trap")
+        b.raw("</a>")
+      }
+
+      // --- copyright paragraph (date-extraction fallback input) ---
+      if (i % spec.copyrightEvery == 3) {
+        b.raw("""<p class="copyright">""")
+        b.visible(s"Copyright updated on 2019-0${1 + rng.nextInt(9)}-1${rng.nextInt(9)} by webmaster")
+        b.raw("</p>")
+      }
+      b.raw("</body></html>")
+
+      val ts = if (i % spec.nullTsEvery == 5) null
+               else new Timestamp(baseTs + i * 3600000L)
+      PageRow(url, ts, b.bytes, b.text, "en")
+    }
+
+    val robotsRows = if (spec.robots) {
+      (0 until spec.hosts).map { h =>
+        val url = s"https://${hostName(h)}/robots.txt"
+        val body =
+          if (h % 2 == 0) s"User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n"
+          else "User-agent: *\n" // allow-all
+        PageRow(url, new Timestamp(baseTs), body.getBytes("UTF-8"),
+          collapse(body), "en")
+      }
+    } else Nil
+
+    rows ++ robotsRows
+  }
+}

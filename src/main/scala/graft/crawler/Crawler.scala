@@ -1,0 +1,290 @@
+package graft.crawler
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+import graft.gfn
+import graft.functions.{Bloom, BloomAggExpr, BloomProbeExpr}
+import graft.snapshot.{PartitionLineage, RoundMetrics, Snapshot, SnapshotLog}
+
+/** Crawl configuration. Neutral defaults reproduce the reference exactly:
+  * unlimited per-host budget (the reference has no politeness,
+  * SpiderMain.kt:58), robots ignored, count cap only (SpiderMain.kt:52
+  * caps urlSet size, not depth — we support both). */
+final case class CrawlConfig(
+    seeds: Seq[String],
+    filter: String,
+    maxSeen: Long = Long.MaxValue,
+    hostBudget: Int = Int.MaxValue,
+    maxDepth: Int = Int.MaxValue,
+    respectRobots: Boolean = false,
+    maxRounds: Int = Int.MaxValue,
+    bloomExpectedItems: Long = 1L << 22,
+    bloomFpp: Double = 0.03,
+    saltBuckets: Int = 16,
+    workDir: Option[String] = None) {
+  def configHash: String =
+    java.lang.Long.toHexString(graft.functions.ExprImpl.hashCfg(
+      s"$seeds|$filter|$maxSeen|$hostBudget|$maxDepth|$respectRobots"))
+}
+
+final case class CrawlResult(
+    seen: DataFrame,     // url, url_hash, depth
+    frontier: DataFrame, // url, host, depth (unfetched remainder)
+    rounds: Vector[RoundMetrics],
+    resumedFromRound: Int)
+
+/** Spark-native URL-frontier crawler: a driver loop of level-synchronous
+  * BFS rounds over the `pages` table (the deterministic Spark reading of
+  * the reference's racy recursive expansion, SpiderMain.kt:47-61; canonical
+  * spec in graft.oracle.ReferenceOracle's scaladoc — engine and oracle
+  * implement the same spec and must match EXACTLY).
+  *
+  * Scale design (north_rule):
+  *   - "fetch" = equi-join frontier✕pages on url — broadcast the frontier
+  *     side when small, shuffle join otherwise (AQE re-plans at runtime);
+  *   - URL-seen set: exact `left_anti` join against the seen table, with a
+  *     driver-merged broadcast Bloom pre-filter that routes
+  *     definitely-new URLs around the join (false positives only add work
+  *     to the exact join; false negatives are impossible — exactness never
+  *     depends on the Bloom);
+  *   - per-host politeness via two-phase windowing: a first row_number
+  *     inside (host, salt) buckets caps hot hosts without a single-task
+  *     skew partition, a second row_number over the ≤ B·S survivors picks
+  *     the exact per-host top-B by (depth, url) — identical output to the
+  *     single-window plan, no hot-host straggler;
+  *   - every round commits an Iceberg-style snapshot (seen delta + frontier
+  *     + metrics + per-partition lineage) so a killed crawl resumes with
+  *     identical ordering (graft.snapshot.SnapshotLog).
+  */
+object Crawler {
+
+  def run(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig): CrawlResult =
+    runInternal(spark, pages, cfg, resume = false)
+
+  /** Continue from the latest snapshot in cfg.workDir. */
+  def resume(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig): CrawlResult =
+    runInternal(spark, pages, cfg, resume = true)
+
+  private def emptySeen(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("url", StringType, nullable = false),
+        StructField("url_hash", LongType, nullable = false),
+        StructField("depth", IntegerType, nullable = false))))
+  }
+
+  /** host → ARRAY(disallow prefixes), parsed from `…/robots.txt` rows of
+    * the pages table (north_rule N2; same parse as the oracle). */
+  def robotsTable(pages: DataFrame): DataFrame =
+    pages.filter(col("url").endsWith("/robots.txt"))
+      .select(gfn.url_host(col("url")).as("host"),
+        explode(split(decode(col("html"), "UTF-8"), "\n")).as("line"))
+      .select(col("host"), trim(col("line")).as("line"))
+      .filter(lower(col("line")).startsWith("disallow:"))
+      .select(col("host"), trim(substring(col("line"), 10, 100000)).as("prefix"))
+      .filter(length(col("prefix")) > 0)
+      .groupBy("host").agg(collect_list("prefix").as("prefixes"))
+
+  /** Exact per-host top-B by (depth, url), computed without a hot-host
+    * straggler: phase 1 caps each (host, salt) bucket at B (a row in the
+    * global per-host top-B is in its bucket's top-B a fortiori), phase 2
+    * ranks the ≤ B·S survivors per host. With B = ∞ politeness is a no-op
+    * and we skip both windows (reference behavior). */
+  private def politenessSelect(frontier: DataFrame, budget: Int, salts: Int): DataFrame = {
+    if (budget == Int.MaxValue) return frontier
+    val ordered = Seq(col("depth").asc, col("url").asc)
+    val pre =
+      if (salts > 1) {
+        val w1 = Window.partitionBy(col("host"), pmod(xxhash64(col("url")), lit(salts)))
+          .orderBy(ordered: _*)
+        frontier.withColumn("__rn1", row_number().over(w1))
+          .filter(col("__rn1") <= budget).drop("__rn1")
+      } else frontier
+    val w2 = Window.partitionBy(col("host")).orderBy(ordered: _*)
+    pre.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= budget).drop("__rn")
+  }
+
+  private def runInternal(spark: SparkSession, pages: DataFrame,
+                          cfg: CrawlConfig, resume: Boolean): CrawlResult = {
+    import spark.implicits._
+    val log = cfg.workDir.map(new SnapshotLog(_))
+    val bloomShape = Bloom.shapeFor(cfg.bloomExpectedItems, cfg.bloomFpp)
+    var driverBloom = new Bloom(bloomShape._1, bloomShape._2)
+
+    var round = 0
+    var resumedFrom = 0
+    var seenCount = 0L
+    var snapshotId = 0
+    var seenDeltaPaths = Vector.empty[String]
+
+    var seen: DataFrame = emptySeen(spark)
+    var frontier: DataFrame =
+      cfg.seeds.toDF("url")
+        .select(col("url"), gfn.url_host(col("url")).as("host"), lit(0).as("depth"))
+
+    val resumeState = if (resume) log.flatMap(_.latest) else None
+    resumeState match {
+      case Some(snap) =>
+        round = snap.round + 1
+        resumedFrom = round
+        snapshotId = snap.id + 1
+        seenCount = snap.seenCount
+        seenDeltaPaths = snap.seenDeltaPaths
+        seen = if (snap.seenDeltaPaths.nonEmpty)
+          spark.read.parquet(snap.seenDeltaPaths: _*) else emptySeen(spark)
+        frontier = spark.read.parquet(snap.frontierPath)
+        // rebuild the pre-filter from the recovered seen set
+        if (seenCount > 0) {
+          val bytes = seen.select(
+            org.apache.spark.sql.graft.Bridge.column(
+              BloomAggExpr(org.apache.spark.sql.graft.Bridge.expression(col("url_hash")),
+                bloomShape._1, bloomShape._2).toAggregateExpression()).as("b"))
+            .head().getAs[Array[Byte]](0)
+          driverBloom = Bloom.deserialize(bytes)
+        }
+      case None => ()
+    }
+
+    val robots = if (cfg.respectRobots) {
+      val r = robotsTable(pages).persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      Some(r)
+    } else None
+
+    val metrics = Vector.newBuilder[RoundMetrics]
+    var stop = false
+
+    while (!stop && round < cfg.maxRounds && seenCount <= cfg.maxSeen) {
+      val t0 = System.currentTimeMillis()
+
+      // --- candidate selection: depth cap, robots, politeness -------------
+      var candidates = frontier.filter(col("depth") <= cfg.maxDepth)
+      robots.foreach { r =>
+        candidates = candidates
+          .join(broadcast(r), Seq("host"), "left")
+          .filter(coalesce(
+            !exists(col("prefixes"), p => gfn.url_path(col("url")).startsWith(p)),
+            lit(true)))
+          .drop("prefixes")
+      }
+      val selected = politenessSelect(candidates, cfg.hostBudget, cfg.saltBuckets)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val selCount = selected.count()
+
+      if (selCount == 0) {
+        selected.unpersist()
+        stop = true
+      } else {
+        // --- fetch: join the pages table; broadcast small frontiers -------
+        val selForJoin = if (selCount <= 400000L) broadcast(selected) else selected
+        val fetched = pages.join(selForJoin, Seq("url"), "inner")
+          .select(col("url"), col("depth"),
+            gfn.extract_links(col("html"), col("url"), lit(cfg.filter), lit(true))
+              .as("links"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val fetchCount = fetched.count()
+
+        // --- per-round link dedup with min discovery depth -----------------
+        val roundLinks = fetched
+          .select(explode(col("links")).as("url"), (col("depth") + 1).as("depth"))
+          .groupBy("url")
+          .agg(min("depth").as("depth"), count(lit(1)).as("dups"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val aggRow = roundLinks.agg(
+          coalesce(sum("dups"), lit(0L)).as("extracted"),
+          count(lit(1)).as("distinctLinks")).head()
+        val linksExtracted = aggRow.getLong(0)
+        val distinctLinks = aggRow.getLong(1)
+
+        // --- seen-set dedup: bloom pre-filter + exact anti-join ------------
+        val newSeen = if (seenCount == 0) {
+          roundLinks.select(col("url"), xxhash64(col("url")).as("url_hash"),
+            col("depth"))
+        } else {
+          val bc = spark.sparkContext.broadcast(driverBloom)
+          val probe = org.apache.spark.sql.graft.Bridge.column(BloomProbeExpr(
+            org.apache.spark.sql.graft.Bridge.expression(xxhash64(col("url"))), bc))
+          val maybeSeen = roundLinks.filter(probe)
+            .join(seen.select("url"), Seq("url"), "left_anti")
+          val definitelyNew = roundLinks.filter(!probe)
+          definitelyNew.unionByName(maybeSeen)
+            .select(col("url"), xxhash64(col("url")).as("url_hash"), col("depth"))
+        }
+
+        // --- persist the round: snapshot delta or in-memory checkpoint -----
+        val (newSeenStable, lineage) = log match {
+          case Some(l) =>
+            val deltaPath = s"${l.dir}/seen/delta_r$round"
+            newSeen.write.mode("overwrite").parquet(deltaPath)
+            seenDeltaPaths = seenDeltaPaths :+ deltaPath
+            val back = spark.read.parquet(deltaPath)
+            val lin = back.groupBy(spark_partition_id().as("p")).count()
+              .collect().map(r => PartitionLineage(r.getInt(0), r.getLong(1)))
+              .sortBy(_.partition).toVector
+            (back, lin)
+          case None =>
+            val cp = newSeen.localCheckpoint(true)
+            (cp, Vector.empty[PartitionLineage])
+        }
+        val newCount = newSeenStable.count()
+        seenCount += newCount
+
+        // --- next state -----------------------------------------------------
+        // only seeds can sit in frontier∖seen, so "already known to the
+        // frontier or already visited" ⇔ "is a seed" for newly-seen urls
+        val frontierAdd = newSeenStable
+          .filter(!col("url").isInCollection(cfg.seeds))
+          .select(col("url"), gfn.url_host(col("url")).as("host"), col("depth"))
+        val frontierNextRaw = frontier
+          .join(selected.select("url"), Seq("url"), "left_anti")
+          .select("url", "host", "depth")
+          .unionByName(frontierAdd)
+
+        val frontierNext = log match {
+          case Some(l) =>
+            val p = s"${l.dir}/frontier/r$round"
+            frontierNextRaw.write.mode("overwrite").parquet(p)
+            spark.read.parquet(p)
+          case None => frontierNextRaw.localCheckpoint(true)
+        }
+        val frontierCount = frontierNext.count()
+
+        seen = seen.unionByName(newSeenStable)
+        if (log.isEmpty) seen = seen.localCheckpoint(true)
+
+        // --- bloom update ----------------------------------------------------
+        if (newCount > 0) {
+          val bytes = newSeenStable.select(
+            org.apache.spark.sql.graft.Bridge.column(
+              BloomAggExpr(org.apache.spark.sql.graft.Bridge.expression(col("url_hash")),
+                bloomShape._1, bloomShape._2).toAggregateExpression()).as("b"))
+            .head().getAs[Array[Byte]](0)
+          driverBloom.mergeInPlace(Bloom.deserialize(bytes))
+        }
+
+        val m = RoundMetrics(round, selCount, fetchCount, linksExtracted,
+          dedupDropped = distinctLinks - newCount,
+          newSeen = newCount, seenTotal = seenCount,
+          frontierNext = frontierCount,
+          wallMillis = System.currentTimeMillis() - t0)
+        metrics += m
+        log.foreach { l =>
+          l.commit(Snapshot(snapshotId, snapshotId - 1, round, seenDeltaPaths,
+            s"${l.dir}/frontier/r$round", seenCount, cfg.configHash, m, lineage))
+          snapshotId += 1
+        }
+
+        frontier = frontierNext
+        selected.unpersist(); fetched.unpersist(); roundLinks.unpersist()
+        round += 1
+        if (frontierCount == 0) stop = true
+      }
+    }
+
+    CrawlResult(seen, frontier, metrics.result(), resumedFrom)
+  }
+}

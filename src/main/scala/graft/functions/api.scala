@@ -32,6 +32,10 @@ object gfn {
   def count_phrase(words: Column, phrase: Column): Column =
     column(CountPhraseExpr(expression(words), expression(phrase)))
 
+  def simhash(tokens: Column): Column = column(SimHashExpr(expression(tokens)))
+  def winnow_fingerprints(text: Column, k: Column, w: Column): Column =
+    column(WinnowExpr(expression(text), expression(k), expression(w)))
+
   /** Bloom aggregate over a LONG hash column; shape from expected items/fpp. */
   def bloom_agg(hash: Column, expectedItems: Long, fpp: Double): Column = {
     val (words, k) = Bloom.shapeFor(expectedItems, fpp)

@@ -89,6 +89,26 @@ object Bloom {
   }
 }
 
+/** Membership probe against a broadcast Bloom — the crawler's cheap
+  * pre-filter before the exact seen-set anti-join. The broadcast is
+  * deserialized once per executor; the probe itself is a handful of bit
+  * reads. CodegenFallback is deliberate: this sits at a filter branch
+  * point, not inside a tight arithmetic loop, and the broadcast handle
+  * can't cross into generated Java source. */
+case class BloomProbeExpr(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[Bloom])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.value.mightContain(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `bloom_agg(hash)` — TypedImperativeAggregate building a Bloom over a
   * LONG hash column; partial aggregation merges per-partition (executor)
   * shards, the final merge happens on the reduce side (the treeAggregate

@@ -15,6 +15,15 @@ import graft.text.{Porter, TextPipeline}
   * fetch/tokenize path. */
 object ExprImpl {
 
+  /** FNV-1a over UTF-8 bytes — config fingerprints for snapshot manifests. */
+  def hashCfg(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    h
+  }
+
   def porterStem(s: UTF8String): UTF8String =
     UTF8String.fromString(Porter.stripAffixes(s.toString))
 

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers for the training-data-pipeline expressions (SimHash,
+  * winnowing fingerprints). xxhash64-compatible avalanche mixing, all
+  * deterministic and seed-free so results are stable across runs/cluster
+  * sizes. */
+object TextExprImpl {
+
+  /** 64-bit hash of a UTF8String (delegates to Spark's xxhash64 kernel so
+    * SQL `xxhash64(token)` and this agree). */
+  def hash64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  /** Charikar SimHash over a token array: per-token 64-bit hash votes
+    * +1/−1 on each bit position; the sign vector is the fingerprint.
+    * Near-duplicate docs differ in few bits (small Hamming distance). */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * rolling 64-bit hashes of every k-gram (by char), then the minimum hash
+    * of each window of w consecutive k-grams, deduplicated, sorted. Robust
+    * local fingerprints for near-duplicate detection at corpus scale. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val grams = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      // polynomial rolling hash, then splitmix avalanche
+      var h = 1125899906842597L
+      var j = 0
+      while (j < k) { h = h * 31 + s.charAt(i + j); j += 1 }
+      var z = h + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      grams(i) = z ^ (z >>> 31)
+      i += 1
+    }
+    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    if (grams.length <= w) { picked += grams.min }
+    else {
+      var start = 0
+      while (start + w <= grams.length) {
+        var m = grams(start)
+        var j = 1
+        while (j < w) { if (grams(start + j) < m) m = grams(start + j); j += 1 }
+        picked += m
+        start += 1
+      }
+    }
+    new GenericArrayData(picked.toArray.map(x => x: Any))
+  }
+}
+
+/** `simhash(tokens ARRAY<STRING>) → LONG` — near-duplicate fingerprint. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprImpl.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `winnow_fingerprints(text, k, w) → ARRAY<LONG>` — winnowed k-gram
+  * fingerprint set. */
+case class WinnowExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    TextExprImpl.winnow(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.TextExprImpl.winnow($t, $k, $w)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches. The DECODE step is a clearly-marked deterministic STUB (the
+  * real codec libraries are not in this container); everything Spark-side —
+  * schema, batch iteration, partitioning, output shape — is real and
+  * tested, so swapping `decodeStub` for a real decoder is a one-function
+  * change.
+  *
+  * In PySpark this would be `mapInPandas`; the Scala-native equivalent is
+  * a typed `mapPartitions` over an Iterator of rows, which preserves the
+  * same batch-at-a-time contract without serializing through Python.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      url: String,
+      n_bytes: Int,
+      content_hash: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Double])
+
+  /** STUB decoder — deterministic fake standing in for e.g. libjpeg/ffmpeg.
+    * Derives plausible metadata and an 8-dim "embedding" purely from the
+    * bytes so tests are reproducible. Replace with a real codec to go
+    * live; the pipeline around it does not change. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    val width = 160 + (math.abs(h % 8) * 80).toInt
+    val height = 120 + (math.abs((h >> 8) % 8) * 60).toInt
+    val frames = 1 + math.abs((h >> 16) % 4).toInt
+    val feat = Array.tabulate(8) { d =>
+      val z = h ^ (0x9e3779b97f4a7c15L * (d + 1))
+      (z % 1000).toDouble / 1000.0
+    }
+    (width, height, frames, feat)
+  }
+
+  /** Batch feature extraction over (url STRING, html/bytes BINARY) rows.
+    * Partition-parallel, no shuffle: the decode cost dominates, so the
+    * right plan is a straight map over the scan. */
+  def extractFeatures(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("url"), col("html").as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (url, bytes) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          val (w, h, f, feat) = decodeStub(b)
+          var hash = 1125899906842597L
+          var i = 0
+          while (i < b.length) { hash = hash * 31 + (b(i) & 0xff); i += 1 }
+          MediaMeta(url, b.length, hash, w, h, f, feat)
+        }
+      }
+  }
+
+  /** Frame-sampling stub: expand each media row into n_frames typed frame
+    * rows (the explode shape a video pipeline needs), deterministic. */
+  def sampleFrames(meta: Dataset[MediaMeta]): DataFrame =
+    meta.toDF().select(col("url"), col("width"), col("height"),
+        posexplode(array_repeat(col("content_hash"), col("n_frames")))
+          .as(Seq("frame_no", "frame_seed")))
+      .withColumn("frame_hash",
+        xxhash64(col("frame_seed"), col("frame_no")))
+      .drop("frame_seed")
+}

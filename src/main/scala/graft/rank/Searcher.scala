@@ -1,0 +1,145 @@
+package graft.rank
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.gfn
+import graft.index.IndexTables
+import graft.text.TextPipeline
+
+/** Query-time retrieval + scoring: the reference's Ranker.rankDocs +
+  * WebController final scoring (Ranker.kt:48-98, WebController.kt:48-83)
+  * as one DataFrame job. The SERP is a DataFrame with the score breakdown
+  * columns (total, cos, pr, title_score) — HTML rendering is presentation,
+  * out of engine scope (SURVEY.md §2.7).
+  *
+  * Exactness notes:
+  *  - single-word score = tf · tfidf_r6 per occurrence (the reference
+  *    scatter-adds the ROUNDED tfidf once per posting-list occurrence);
+  *  - phrase score = (Σ over phrase TOKENS, duplicates included, of
+  *    tfidf_r6) × non-overlapping phrase count;
+  *  - an unknown word inside a phrase kills the whole phrase; an unknown
+  *    single word is dropped (Ranker.kt:100-119);
+  *  - normalizer = docLen · sqrt(#resolved term ids, flattened);
+  *  - meanScore = Σ normalized / (3·|results|) — query-dependent;
+  *  - title match uses ALL query stems (pre-resolution,
+  *    WebController.kt:69), testing tokenized-title membership OR raw
+  *    case-insensitive substring;
+  *  - canonical tie-break: url_id ascending (the reference's tie order is
+  *    racy map iteration — SURVEY.md §2.5 T3).
+  */
+object Searcher {
+
+  final case class Prepared(index: IndexTables, ranks: DataFrame, maxPR: Double)
+
+  def prepare(index: IndexTables, ranks: DataFrame): Prepared = {
+    val cached = ranks.cache()
+    val maxPR = cached.agg(max("rank")).head().getDouble(0)
+    Prepared(index, cached, maxPR)
+  }
+
+  private def emptyResult(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("rank", IntegerType), StructField("url_id", LongType),
+        StructField("url", StringType), StructField("total", DoubleType),
+        StructField("cos", DoubleType), StructField("pr", DoubleType),
+        StructField("title_score", DoubleType), StructField("title", StringType))))
+  }
+
+  def search(spark: SparkSession, p: Prepared, query: String, topK: Int = 50): DataFrame = {
+    import spark.implicits._
+    val idx = p.index
+
+    // -- driver-side query analysis (queries are tiny) ----------------------
+    val groups = TextPipeline.tokenizeQuery(query)
+    if (groups.isEmpty) return emptyResult(spark)
+    val allStems = groups.flatten
+    val wordIdMap = idx.wordDict
+      .filter(col("word").isInCollection(allStems.distinct))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // findWordId with the phrase-kill rule (Ranker.kt:100-119)
+    val idGroups: List[Vector[Long]] = groups.flatMap { g =>
+      val isPhrase = g.size > 1
+      val resolved = g.flatMap(wordIdMap.get)
+      if (isPhrase && resolved.size != g.size) None
+      else if (resolved.isEmpty) None
+      else Some(resolved.toVector)
+    }
+    if (idGroups.isEmpty) return emptyResult(spark)
+
+    val queryLength = math.sqrt(idGroups.map(_.size).sum.toDouble)
+
+    // -- single-word contributions: one broadcast join over postings --------
+    val singles = idGroups.filter(_.size == 1).map(_.head)
+      .groupBy(identity).map { case (w, occ) => (w, occ.size) }.toSeq
+    val singleScores: Option[DataFrame] =
+      if (singles.isEmpty) None
+      else {
+        val sdf = broadcast(singles.toDF("word_id", "mult"))
+        Some(idx.postings.join(sdf, Seq("word_id"))
+          .join(idx.tfidf, Seq("url_id", "word_id"))
+          .select(col("url_id"),
+            (col("mult") * col("tf") * col("tfidf_r6")).as("contrib")))
+      }
+
+    // -- phrase contributions: forward-index scan per phrase ----------------
+    val phrases = idGroups.filter(_.size > 1)
+    val phraseScores: Seq[DataFrame] = phrases.map { ph =>
+      val matches = idx.docWords
+        .select(col("url_id"),
+          gfn.count_phrase(col("words"), typedlit(ph)).as("c"))
+        .filter(col("c") > 0)
+      val terms = broadcast(
+        ph.groupBy(identity).map { case (w, occ) => (w, occ.size) }
+          .toSeq.toDF("word_id", "mult"))
+      val termSum = idx.tfidf.join(terms, Seq("word_id"))
+        .groupBy("url_id")
+        .agg(sum(col("mult") * col("tfidf_r6")).as("term_sum"))
+      matches.join(termSum, Seq("url_id"))
+        .select(col("url_id"), (col("term_sum") * col("c")).as("contrib"))
+    }
+
+    val contributions = (singleScores.toSeq ++ phraseScores)
+      .reduce(_ unionByName _)
+    val rawScores = contributions.groupBy("url_id")
+      .agg(sum("contrib").as("raw"))
+
+    // -- normalization (Ranker.kt:92-95) ------------------------------------
+    val norm = rawScores.join(idx.docLen, Seq("url_id"))
+      .select(col("url_id"),
+        (col("raw") / (col("len") * lit(queryLength))).as("score"))
+      .cache()
+
+    val stats = norm.agg(sum("score"), count(lit(1))).head()
+    val nResults = stats.getLong(1)
+    if (nResults == 0) return emptyResult(spark)
+    val meanScore = stats.getDouble(0) / (nResults * 3)
+
+    // -- final scoring (WebController.kt:60-83) ------------------------------
+    val stemsLit = typedlit(allStems)
+    val scored = norm
+      .join(idx.maxTf, Seq("url_id"))
+      .join(p.ranks, Seq("url_id"), "left")
+      .join(idx.urlInfo.select("url_id", "title"), Seq("url_id"))
+      .withColumn("cos", col("score") / col("max_tf"))
+      .withColumn("pr", coalesce(col("rank"), lit(0.0)) / lit(p.maxPR * 3))
+      .withColumn("title_toks", gfn.tokenize_words(col("title")))
+      .withColumn("title_score",
+        size(filter(stemsLit, t =>
+          array_contains(col("title_toks"), t) ||
+            contains(lower(col("title")), t))) * lit(meanScore))
+      .withColumn("total", col("cos") + col("pr") + col("title_score"))
+
+    val top = scored
+      .join(idx.urlDict.select("url_id", "url"), Seq("url_id"))
+      .orderBy(desc("total"), asc("url_id"))
+      .limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("total"), asc("url_id"))))
+      .select("rank", "url_id", "url", "total", "cos", "pr", "title_score", "title")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.snapshot
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+
+/** Minimal Iceberg-style snapshot log over Parquet (the Iceberg runtime jar
+  * is not available offline — SURVEY.md §7.3): an append-only chain of JSON
+  * manifests under `<dir>/_snapshots/v{N}.json`, each recording
+  *
+  *   - snapshot id + parent id + crawl round,
+  *   - the cumulative list of seen-set delta paths (the seen table is the
+  *     union of its deltas),
+  *   - the current frontier path,
+  *   - fetch/dedup metrics for the round,
+  *   - per-partition lineage (rows per written partition) for the delta,
+  *
+  * giving the north_rule's resume semantics: a killed job re-reads the
+  * latest manifest and continues with identical ordering (every round is a
+  * deterministic function of (seen, frontier, pages, config)). Commits are
+  * atomic via write-to-temp + move.
+  */
+final case class PartitionLineage(partition: Int, rows: Long)
+
+final case class RoundMetrics(
+    round: Int,
+    selected: Long,
+    fetched: Long,
+    linksExtracted: Long,
+    dedupDropped: Long,
+    newSeen: Long,
+    seenTotal: Long,
+    frontierNext: Long,
+    wallMillis: Long)
+
+final case class Snapshot(
+    id: Int,
+    parentId: Int,
+    round: Int,
+    seenDeltaPaths: Vector[String],
+    frontierPath: String,
+    seenCount: Long,
+    configHash: String,
+    metrics: RoundMetrics,
+    lineage: Vector[PartitionLineage])
+
+final class SnapshotLog(val dir: String) {
+  private val snapDir = Paths.get(dir, "_snapshots")
+  Files.createDirectories(snapDir)
+
+  def latest: Option[Snapshot] = {
+    val ids = listIds
+    if (ids.isEmpty) None else Some(read(ids.max))
+  }
+
+  def listIds: Vector[Int] =
+    Files.list(snapDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toVector.sorted
+
+  def read(id: Int): Snapshot = {
+    implicit val fmt: Formats = DefaultFormats
+    val json = JsonMethods.parse(new String(
+      Files.readAllBytes(snapDir.resolve(s"v$id.json")), "UTF-8"))
+    json.extract[Snapshot]
+  }
+
+  def commit(s: Snapshot): Unit = {
+    val j: JObject =
+      ("id" -> s.id) ~ ("parentId" -> s.parentId) ~ ("round" -> s.round) ~
+      ("seenDeltaPaths" -> s.seenDeltaPaths) ~
+      ("frontierPath" -> s.frontierPath) ~
+      ("seenCount" -> s.seenCount) ~
+      ("configHash" -> s.configHash) ~
+      ("metrics" ->
+        (("round" -> s.metrics.round) ~ ("selected" -> s.metrics.selected) ~
+         ("fetched" -> s.metrics.fetched) ~
+         ("linksExtracted" -> s.metrics.linksExtracted) ~
+         ("dedupDropped" -> s.metrics.dedupDropped) ~
+         ("newSeen" -> s.metrics.newSeen) ~ ("seenTotal" -> s.metrics.seenTotal) ~
+         ("frontierNext" -> s.metrics.frontierNext) ~
+         ("wallMillis" -> s.metrics.wallMillis))) ~
+      ("lineage" -> s.lineage.map(l => ("partition" -> l.partition) ~ ("rows" -> l.rows)))
+    val bytes = JsonMethods.pretty(JsonMethods.render(j)).getBytes("UTF-8")
+    val tmp = snapDir.resolve(s".v${s.id}.json.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, snapDir.resolve(s"v${s.id}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}

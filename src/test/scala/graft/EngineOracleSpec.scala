@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.{PageRow, TestCorpus}
+import graft.crawler.{CrawlConfig, Crawler}
+import graft.index.Indexer
+import graft.oracle.ReferenceOracle
+import graft.oracle.ReferenceOracle.CrawlParams
+import graft.rank.{PageRankSpark, Searcher}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/** End-to-end fixtures: the Spark engine must match the sequential
+  * reference oracle EXACTLY on the seen set, ordering, ids, postings,
+  * 6-dp tfidf, and query score breakdowns (FIXTURES.md §2). */
+class EngineOracleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val corpus: Vector[PageRow] = TestCorpus.generate(TestCorpus.tiny)
+  private lazy val pagesDf: DataFrame = spark.createDataset(corpus).toDF().cache()
+
+  private val seeds = Seq(TestCorpus.seedUrl)
+  private val filter = TestCorpus.filterPrefix
+
+  private lazy val oracleCrawl =
+    ReferenceOracle.crawl(corpus, CrawlParams(seeds, filter))
+  private lazy val engineCrawl =
+    Crawler.run(spark, pagesDf, CrawlConfig(seeds, filter))
+  private lazy val oracleIndex =
+    ReferenceOracle.buildIndex(corpus, oracleCrawl.seen, filter)
+  private lazy val engineIndex =
+    Indexer.build(spark, pagesDf, engineCrawl.seen, filter, partitions = 4)
+
+  test("extract_text(html) reproduces pages.text byte-identically (per-row invariant)") {
+    val mismatches = pagesDf
+      .select(col("url"), gfn.extract_text(col("html")).as("got"), col("text"))
+      .filter(col("got") =!= col("text"))
+      .collect()
+    assert(mismatches.isEmpty,
+      mismatches.take(3).map(r => s"${r.getString(0)}:\n got=${r.getString(1)}\n exp=${r.getString(2)}").mkString("\n"))
+  }
+
+  test("crawl: URL-seen set exact-match vs oracle (default config)") {
+    val engineSeen = engineCrawl.seen.select("url").as[String].collect().toSet
+    assert(engineSeen == oracleCrawl.seen)
+    assert(engineCrawl.frontier.count() == oracleCrawl.frontier.size)
+  }
+
+  test("crawl: per-round metrics align with oracle rounds") {
+    val o = oracleCrawl.rounds
+    val e = engineCrawl.rounds
+    assert(e.map(_.selected) == o.map(_.selected))
+    assert(e.map(_.newSeen) == o.map(_.newSeen))
+    assert(e.map(_.seenTotal) == o.map(_.seenTotal))
+  }
+
+  test("crawl: politeness budget B=2 exact-match vs oracle") {
+    val o = ReferenceOracle.crawl(corpus, CrawlParams(seeds, filter, hostBudget = 2))
+    val e = Crawler.run(spark, pagesDf, CrawlConfig(seeds, filter, hostBudget = 2))
+    assert(e.seen.select("url").as[String].collect().toSet == o.seen)
+    assert(e.rounds.map(_.selected) == o.rounds.map(_.selected))
+    // frontier depths must match too (they drive later politeness ordering)
+    val ef = e.frontier.select("url", "depth").as[(String, Int)].collect().toMap
+    assert(ef == o.frontier)
+  }
+
+  test("crawl: robots.txt disallow rules exact-match vs oracle") {
+    val o = ReferenceOracle.crawl(corpus,
+      CrawlParams(seeds, filter, respectRobots = true))
+    val e = Crawler.run(spark, pagesDf,
+      CrawlConfig(seeds, filter, respectRobots = true))
+    assert(e.seen.select("url").as[String].collect().toSet == o.seen)
+    // disallowed urls are discovered (seen) but never fetched: they stay in
+    // the frontier at the end
+    val ef = e.frontier.select("url").as[String].collect().toSet
+    assert(ef == o.frontier.keySet)
+    assert(ef.exists(_.contains("/private/")))
+  }
+
+  test("crawl: seen-size cap stops at the same round as the oracle") {
+    val o = ReferenceOracle.crawl(corpus, CrawlParams(seeds, filter, maxSeen = 20))
+    val e = Crawler.run(spark, pagesDf, CrawlConfig(seeds, filter, maxSeen = 20))
+    assert(e.seen.select("url").as[String].collect().toSet == o.seen)
+  }
+
+  test("index: url_id assignment = lexicographic rank (T1)") {
+    val engineIds = engineIndex.urlDict.select("url", "url_id")
+      .as[(String, Long)].collect().toMap
+    assert(engineIds == oracleIndex.urlIds)
+  }
+
+  test("index: adjacency matches (J1 silent-drop inner join)") {
+    val engineLinks = engineIndex.links.as[(Long, Long)].collect().toSet
+    val oracleLinks = oracleIndex.links.toSeq
+      .flatMap { case (s, ds) => ds.map(s -> _) }.toSet
+    assert(engineLinks == oracleLinks)
+  }
+
+  test("index: word ids = first-encounter order over ascending url_id") {
+    val engineWords = engineIndex.wordDict.as[(String, Long)].collect().toMap
+    assert(engineWords == oracleIndex.wordIds)
+  }
+
+  test("index: postings (word_id, url_id, tf) exact") {
+    val engine = engineIndex.postings.select("word_id", "url_id", "tf")
+      .as[(Long, Long, Int)].collect().toSet
+    val oracle = oracleIndex.postings.flatMap { case (w, docs) =>
+      docs.map { case (d, tf) => (w, d, tf) } }.toSet
+    assert(engine == oracle)
+  }
+
+  test("index: 6-dp tfidf exact; raw doc length to 1e-9") {
+    val engine = engineIndex.tfidf.select("url_id", "word_id", "tfidf_r6")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, w, v) => (d, w) -> v }.toMap
+    assert(engine.keySet == oracleIndex.tfidfR6.keySet)
+    engine.foreach { case (k, v) =>
+      assert(v == oracleIndex.tfidfR6(k), s"tfidf_r6 mismatch at $k") }
+
+    val engineLen = engineIndex.docLen.as[(Long, Double)].collect().toMap
+    assert(engineLen.keySet == oracleIndex.docLen.keySet)
+    engineLen.foreach { case (d, l) =>
+      assert(math.abs(l - oracleIndex.docLen(d)) <= 1e-9, s"docLen mismatch at $d") }
+  }
+
+  test("index: max_tf matches the head of the count-desc list") {
+    val engine = engineIndex.maxTf.as[(Long, Int)].collect().toMap
+    val oracle = oracleIndex.wordCountList.collect {
+      case (d, wc) if wc.nonEmpty => d -> wc.head._2 }
+    assert(engine == oracle)
+  }
+
+  test("pagerank: 1e-6 match after 20 and 40 iterations") {
+    val vertices = engineIndex.urlDict.select("url_id")
+    for (iters <- Seq(20, 40)) {
+      val engine = PageRankSpark.run(engineIndex.links, vertices, iters)
+        .as[(Long, Double)].collect().toMap
+      val oracle = ReferenceOracle.pageRank(oracleIndex, iters)
+      assert(engine.size == oracle.length)
+      engine.foreach { case (id, r) =>
+        assert(math.abs(r - oracle(id.toInt)) <= 1e-6,
+          s"pagerank mismatch at $id after $iters iters: $r vs ${oracle(id.toInt)}") }
+    }
+  }
+
+  test("search: score breakdown + top-50 ordering matches oracle") {
+    val ranks40 = PageRankSpark.run(engineIndex.links,
+      engineIndex.urlDict.select("url_id"), 40)
+    val prepared = Searcher.prepare(engineIndex, ranks40)
+    val oracleRanks = ReferenceOracle.pageRank(oracleIndex, 40)
+
+    val queries = Seq(
+      "university networks",
+      "research",
+      "\"hong kong\" research",
+      "\"hong kong\"",
+      "\"universities hong",       // unterminated → double-stem path
+      "the of and",                // stopword-only → empty
+      "qqqunknown research",       // unknown single word dropped
+      "\"hong qqqunknown\" systems" // unknown word kills the phrase
+    )
+    queries.foreach { q =>
+      val engine = Searcher.search(spark, prepared, q)
+        .select("rank", "url_id", "total", "cos", "pr", "title_score")
+        .as[(Int, Long, Double, Double, Double, Double)].collect().toVector
+      val oracle = ReferenceOracle.search(q, oracleIndex, oracleRanks)
+      assert(engine.size == oracle.size, s"result count for '$q'")
+      engine.zip(oracle).foreach { case ((rk, id, tot, cos, pr, ts), (ork, o)) =>
+        assert(rk == ork && id == o.urlId, s"ordering mismatch for '$q' at rank $rk: $id vs ${o.urlId}")
+        assert(math.abs(tot - o.total) <= 1e-9, s"total for '$q' #$rk")
+        assert(math.abs(cos - o.cos) <= 1e-9, s"cos for '$q' #$rk")
+        assert(math.abs(pr - o.pr) <= 1e-9, s"pr for '$q' #$rk")
+        assert(math.abs(ts - o.title) <= 1e-9, s"title for '$q' #$rk")
+      }
+    }
+  }
+
+  test("url_info: warc_ts plays Last-Modified; copyright/default fallbacks; size") {
+    val info = engineIndex.urlInfo
+      .join(engineIndex.urlDict, Seq("url_id"))
+      .select("url", "title", "last_modified", "size_bytes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byUrl = corpus.map(p => p.url -> p).toMap
+    oracleCrawl.seen.foreach { u =>
+      val row = info(u)
+      byUrl.get(u) match {
+        case Some(p) =>
+          assert(row.getInt(3) == p.html.length, s"size for $u")
+          if (p.warc_ts != null)
+            assert(row.getTimestamp(2).getTime == p.warc_ts.getTime, s"ts for $u")
+        case None =>
+          assert(row.getString(1) == "" && row.getInt(3) == 0)
+      }
+    }
+  }
+}
