@@ -1,13 +1,439 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.corpus.TestCorpus
+import graft.crawler.{CrawlConfig, Crawler}
+import graft.index.Indexer
+import graft.ops.{Multimodal, TrainingOps => T}
+import graft.rank.{PageRankSpark, Searcher}
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2 + the training-data ops), each SQL-expressible one paired
+  * with an equivalent DuckDB oracle in `oracleSql`.
+  *
+  * Parity rules applied throughout (the driver hash-compares values):
+  * identical column names+aliases on both sides; derived integers cast to
+  * BIGINT; exact DECIMAL accumulation for money sums, converted to DOUBLE
+  * at the boundary; all floating outputs rounded to 4dp; every query
+  * deterministically ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // shared tiny corpus for the crawl/serp/multimodal queries (independent of
+  // sfDir — the crawl fixtures come from the seeded generator, TESTDATA §1)
+  private lazy val demoCorpus = TestCorpus.generate(TestCorpus.Spec(hosts = 3, basePagesPerHost = 8))
+
+  private def demoPages(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(demoCorpus).toDF()
+  }
+
+  private def crawlDemo(spark: SparkSession) = {
+    val pages = demoPages(spark).cache()
+    val crawl = Crawler.run(spark, pages,
+      CrawlConfig(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix))
+    (pages, crawl)
+  }
+
+  /** Flagship query (driver smoke-checks rows>0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- scans / filters / projections (S2-S4, F-ops) --------
+    "q_scan_filter" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-06-17").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    }),
+
+    // ---------------- aggregations (A1-A6 shapes) --------------------------
+    "q_agg_groupby" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 4).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_df_count" -> ((s, d) => {
+      // document frequency over whitespace tokens (A4 shape, exact distinct)
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(T.wsTokens(col("text"))).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("tok"))
+        .limit(200)
+    }),
+
+    "q_tfidf" -> ((s, d) => {
+      // tf-idf over whitespace tokens (A5 shape): tf * ln(N/df)/ln(2)
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), explode(T.wsTokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      tf.join(dfT, "tok")
+        .withColumn("tfidf", round(
+          col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double"))
+            / lit(math.log(2.0)), 4))
+        .filter(col("doc_id") < 50)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+        .orderBy("doc_id", "tok")
+    }),
+
+    // ---------------- joins (J1-J8 shapes) ---------------------------------
+    "q_join_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("rev", round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+          .cast("decimal(18,2)"))
+      li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(sum("rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    "q_multijoin_dims" -> ((s, d) => {
+      // dim joins are broadcast-able: nation/region tiny (J7 shape)
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
+    "q_antijoin" -> ((s, d) => {
+      // U2/S8: customers with no orders — the seen-set anti-join shape
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(1000)
+    }),
+
+    "q_semijoin" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(1000)
+    }),
+
+    // ---------------- set ops (U1-U3) ---------------------------------------
+    "q_union_dedup" -> ((s, d) => {
+      t(s, d, "orders").select(col("o_custkey").as("k"))
+        .union(t(s, d, "customer").select(col("c_custkey").as("k")))
+        .distinct()
+        .orderBy("k")
+        .limit(2000)
+    }),
+
+    "q_except" -> ((s, d) => {
+      t(s, d, "supplier").select(col("s_suppkey").as("k"))
+        .except(t(s, d, "lineitem").select(col("l_suppkey").as("k")))
+        .orderBy("k")
+    }),
+
+    // ---------------- sorts / top-k / windows (T/N ops) --------------------
+    "q_topk" -> ((s, d) => {
+      t(s, d, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .limit(50)
+    }),
+
+    "q_window_politeness" -> ((s, d) => {
+      // N1: per-key budget via row_number — the politeness window shape
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3 && col("user_id") < 200)
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    }),
+
+    // ---------------- text analysis ----------------------------------------
+    "q_token_counts" -> ((s, d) =>
+      T.tokenCounts(t(s, d, "documents"))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("re_tokens").cast("long").as("re_tokens"),
+          col("chars").cast("long").as("chars"))),
+
+    "q_quality" -> ((s, d) => T.qualityScores(t(s, d, "documents"))),
+
+    "q_lang_id" -> ((s, d) => T.langId(t(s, d, "documents"))),
+
+    // ---------------- deduplication -----------------------------------------
+    "q_dedup_exact" -> ((s, d) => T.exactDupSummary(t(s, d, "documents"))),
+
+    "q_dedup_groups" -> ((s, d) => T.exactDupGroups(t(s, d, "documents"))),
+
+    "q_jaccard_pairs" -> ((s, d) =>
+      T.jaccardPairs(t(s, d, "documents"), threshold = 0.4)),
+
+    "q_minhash_lsh" -> ((s, d) => T.minhashLshPairs(t(s, d, "documents"))),
+
+    "q_simhash" -> ((s, d) => T.simhashes(t(s, d, "documents"))),
+
+    "q_simhash_pairs" -> ((s, d) =>
+      T.simhashPairs(t(s, d, "documents"), maxHamming = 6)),
+
+    "q_winnow_pairs" -> ((s, d) =>
+      T.winnowPairs(t(s, d, "documents"), minShared = 60)),
+
+    // ---------------- similarity search -------------------------------------
+    "q_cosine_topk" -> ((s, d) =>
+      T.bruteForceCosineTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L), k = 10)),
+
+    "q_ann_ivf" -> ((s, d) =>
+      T.ivfCosineTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L), k = 10)),
+
+    // ---------------- crawl / rank / search (fixture-tested; no SQL form) ---
+    "q_crawl_seen" -> ((s, _) => {
+      val (_, crawl) = crawlDemo(s)
+      crawl.seen.select("url", "depth").orderBy("url")
+    }),
+
+    "q_serp" -> ((s, _) => {
+      val (pages, crawl) = crawlDemo(s)
+      val index = Indexer.build(s, pages, crawl.seen, TestCorpus.filterPrefix, 8)
+      val ranks = PageRankSpark.run(index.links, index.urlDict.select("url_id"), 40)
+      Searcher.search(s, Searcher.prepare(index, ranks), "\"hong kong\" research")
+    }),
+
+    "q_pagerank" -> ((s, _) => {
+      val (pages, crawl) = crawlDemo(s)
+      val index = Indexer.build(s, pages, crawl.seen, TestCorpus.filterPrefix, 8)
+      PageRankSpark.run(index.links, index.urlDict.select("url_id"), 40)
+        .withColumn("rank", round(col("rank"), 6))
+        .orderBy("url_id")
+    }),
+
+    // ---------------- multimodal plumbing (stubbed decode) ------------------
+    "q_multimodal_meta" -> ((s, _) => {
+      val meta = Multimodal.extractFeatures(demoPages(s))
+      meta.toDF().select(col("url"), col("n_bytes"), col("width"), col("height"),
+        col("n_frames")).orderBy("url")
+    }),
+
+    "q_multimodal_frames" -> ((s, _) => {
+      val meta = Multimodal.extractFeatures(demoPages(s))
+      Multimodal.sampleFrames(meta).orderBy("url", "frame_no")
+    })
+  )
+
+  // ======================================================================
+  // DuckDB oracles — identical semantics, names, types, rounding, ordering
+  // ======================================================================
+  def oracleSql: Map[String, String] = Map(
+
+    "q_scan_filter" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-17' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_df_count" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |        FROM documents))
+        |SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+        |ORDER BY df DESC, tok LIMIT 200""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |  ROUND(CAST(tf.tf AS DOUBLE) * LN(CAST(n.n AS DOUBLE)/CAST(df.df AS DOUBLE)) / LN(2.0), 4) AS tfidf
+        |FROM tf JOIN df USING (tok) CROSS JOIN n
+        |WHERE tf.doc_id < 50
+        |ORDER BY doc_id, tok""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_multijoin_dims" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey LIMIT 1000""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey LIMIT 1000""".stripMargin,
+
+    "q_union_dedup" ->
+      """SELECT DISTINCT k FROM (
+        |  SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey FROM customer)
+        |ORDER BY k LIMIT 2000""".stripMargin,
+
+    "q_except" ->
+      """SELECT s_suppkey AS k FROM supplier
+        |EXCEPT SELECT l_suppkey FROM lineitem ORDER BY k""".stripMargin,
+
+    "q_topk" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_window_politeness" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 AND user_id < 200 ORDER BY user_id, rn""".stripMargin,
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  ROUND(chars / GREATEST(toks, 1.0), 4) AS mean_tok_len,
+        |  ROUND(punct / GREATEST(chars, 1.0), 4) AS punct_ratio,
+        |  ROUND(thec / GREATEST(toks, 1.0), 4) AS the_ratio,
+        |  ROUND(LEAST(chars/500.0, 1.0)*0.5
+        |      + LEAST(thec/GREATEST(toks,1.0)*10.0, 1.0)*0.3
+        |      + (1.0 - LEAST(punct/GREATEST(chars,1.0)*5.0, 1.0))*0.2, 4) AS quality
+        |FROM (SELECT doc_id,
+        |        CAST(length(text) AS DOUBLE) AS chars,
+        |        CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS toks,
+        |        CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE) AS punct,
+        |        CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS DOUBLE) AS thec
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |  ROUND(en / GREATEST(toks, 1.0), 4) AS en_score,
+        |  CASE WHEN en / GREATEST(toks, 1.0) > 0.02 THEN 'en' ELSE 'other' END AS predicted
+        |FROM (SELECT doc_id, lang,
+        |        CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS toks,
+        |        CAST((length(text) - length(replace(lower(text), ' the ', '')))/5
+        |           + (length(text) - length(replace(lower(text), ' and ', '')))/5
+        |           + (length(text) - length(replace(lower(text), ' of ', '')))/4
+        |           + (length(text) - length(replace(lower(text), ' to ', '')))/4 AS DOUBLE) AS en
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(text)) AS distinct_docs
+        |FROM documents""".stripMargin,
+
+    "q_dedup_groups" ->
+      """SELECT md5(text) AS h, COUNT(*) AS c, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    list_transform(toks, (x,i) -> CASE WHEN i+2 <= len(toks)
+        |        THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+        |    s -> s IS NOT NULL))) AS shingle
+        |  FROM toksrc),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+        |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1,2)
+        |SELECT a, b,
+        |  ROUND(CAST(inter AS DOUBLE)/CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(inter AS DOUBLE)/CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4
+        |ORDER BY a, b""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    list_transform(toks, (x,i) -> CASE WHEN i+2 <= len(toks)
+        |        THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] END),
+        |    s -> s IS NOT NULL))) AS shingle
+        |  FROM toksrc),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5(shingle || '#salt0')) AS mh0, MIN(md5(shingle || '#salt1')) AS mh1,
+        |    MIN(md5(shingle || '#salt2')) AS mh2, MIN(md5(shingle || '#salt3')) AS mh3,
+        |    MIN(md5(shingle || '#salt4')) AS mh4, MIN(md5(shingle || '#salt5')) AS mh5
+        |  FROM tri GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, mh0 || mh1 AS sig FROM sig
+        |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        |ORDER BY a, b""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id IN (0,1,2)),
+        |flat AS (
+        |  SELECT q.query_id, e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |dots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+        |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+        |  FROM flat GROUP BY 1,2),
+        |scored AS (
+        |  SELECT query_id, vec_id AS neighbor,
+        |    ROUND(dot / (SQRT(nx) * SQRT(ny)), 4) AS cos
+        |  FROM dots)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor, cos FROM (
+        |  SELECT query_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  )
 }

@@ -186,19 +186,17 @@ object Crawler {
             gfn.extract_links(col("html"), col("url"), lit(cfg.filter), lit(true))
               .as("links"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val fetchCount = fetched.count()
+        val fetchAgg = fetched.agg(count(lit(1)), coalesce(sum(size(col("links"))), lit(0L))).head()
+        val fetchCount = fetchAgg.getLong(0)
+        val linksExtracted = fetchAgg.getLong(1)
 
         // --- per-round link dedup with min discovery depth -----------------
         val roundLinks = fetched
           .select(explode(col("links")).as("url"), (col("depth") + 1).as("depth"))
           .groupBy("url")
-          .agg(min("depth").as("depth"), count(lit(1)).as("dups"))
+          .agg(min("depth").as("depth"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val aggRow = roundLinks.agg(
-          coalesce(sum("dups"), lit(0L)).as("extracted"),
-          count(lit(1)).as("distinctLinks")).head()
-        val linksExtracted = aggRow.getLong(0)
-        val distinctLinks = aggRow.getLong(1)
+        val distinctLinks = roundLinks.count()
 
         // --- seen-set dedup: bloom pre-filter + exact anti-join ------------
         val newSeen = if (seenCount == 0) {
@@ -253,8 +251,13 @@ object Crawler {
         }
         val frontierCount = frontierNext.count()
 
-        seen = seen.unionByName(newSeenStable)
-        if (log.isEmpty) seen = seen.localCheckpoint(true)
+        // keep the seen plan FLAT: one multi-path parquet scan in snapshot
+        // mode (not a per-round union tower), a truncated checkpoint in
+        // memory mode — the anti-join re-plans this every round
+        seen = log match {
+          case Some(_) => spark.read.parquet(seenDeltaPaths: _*)
+          case None => seen.unionByName(newSeenStable).localCheckpoint(true)
+        }
 
         // --- bloom update ----------------------------------------------------
         if (newCount > 0) {

@@ -51,7 +51,7 @@ object TrainingOps {
     val punct = (length(col("text")) -
       length(translate(col("text"), ".,;:!?", ""))).cast("double")
     val theCount = ((length(col("text")) -
-      length(replace(col("text"), lit(" the ")))) / lit(5)).cast("double")
+      length(replace(col("text"), lit(" the "), lit("")))) / lit(5)).cast("double")
     docs.select(col("doc_id"),
         round(chars / greatest(toks, lit(1.0)), 4).as("mean_tok_len"),
         round(punct / greatest(chars, lit(1.0)), 4).as("punct_ratio"),
@@ -68,7 +68,7 @@ object TrainingOps {
     * common English function words vs text length. */
   def langId(docs: DataFrame): DataFrame = {
     def occ(token: String): Column =
-      ((length(col("text")) - length(replace(lower(col("text")), lit(token))))
+      ((length(col("text")) - length(replace(lower(col("text")), lit(token), lit(""))))
         / lit(token.length)).cast("double")
     val en = occ(" the ") + occ(" and ") + occ(" of ") + occ(" to ")
     val toks = size(wsTokens(col("text"))).cast("double")
@@ -218,7 +218,7 @@ object TrainingOps {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(dot(col("v"), col("qv")) /
         (norm(col("v")) * norm(col("qv"))), 4))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
       .orderBy("query_id", "rnk")
@@ -258,7 +258,7 @@ object TrainingOps {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(dot(col("v"), col("qv")) /
         (norm(col("v")) * norm(col("qv"))), 4))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
       .orderBy("query_id", "rnk")
