@@ -17,7 +17,7 @@ import java.sql.Timestamp
 object BenchCorpus {
 
   final case class Shape(hosts: Int, totalPages: Int, seed: Long = 42L,
-                         zipfExponent: Double = 1.0, linksPerPage: Int = 12)
+                         zipfExponent: Double = 1.0, linksPerPage: Int = 16)
 
   /** per-host page counts (Zipf), prefix offsets, total. */
   def hostLayout(shape: Shape): (Array[Int], Array[Int]) = {
@@ -60,11 +60,19 @@ object BenchCorpus {
     sb.append("<html><head><title>")
     sb.append(words(next(words.length))).append(' ').append(words(next(words.length)))
       .append(" page ").append(globalIdx)
-    sb.append("</title></head><body><p>")
-    val nw = 20 + next(30)
-    var w = 0
-    while (w < nw) { sb.append(words(next(words.length))).append(' '); w += 1 }
-    sb.append("</p>")
+    sb.append("</title></head><body>")
+    // parse-heavy body: several paragraphs so the fetch join's extraction
+    // cost dominates fixed per-round driver overhead at bench scale
+    var para = 0
+    val nPara = 3 + next(3)
+    while (para < nPara) {
+      sb.append("<p>")
+      val nw = 30 + next(40)
+      var w = 0
+      while (w < nw) { sb.append(words(next(words.length))).append(' '); w += 1 }
+      sb.append("</p>")
+      para += 1
+    }
     // links: chain to i+1 (connectivity), root fan-out, random same-host,
     // occasional cross-host + noise suffixes
     def a(href: String): Unit =

@@ -24,7 +24,18 @@ final case class CrawlConfig(
     bloomExpectedItems: Long = 1L << 22,
     bloomFpp: Double = 0.03,
     saltBuckets: Int = 16,
-    workDir: Option[String] = None) {
+    workDir: Option[String] = None,
+    /** false skips the metrics-only jobs (fetch/link/dedup counts) — the
+      * throughput-bench mode; state-machine counts (newSeen, frontier) are
+      * always exact. */
+    collectMetrics: Boolean = true,
+    /** >0 ⇒ the pages table is hive-partitioned by a `bucket` column equal
+      * to pmod(xxhash64(url), pagesBuckets); the fetch join then includes
+      * bucket equality so dynamic partition pruning reads ONLY the buckets
+      * the frontier touches — small rounds stop paying a full-table scan.
+      * This is the sandbox stand-in for bucketed/Iceberg-partitioned page
+      * storage on a real cluster. */
+    pagesBuckets: Int = 0) {
   def configHash: String =
     java.lang.Long.toHexString(graft.functions.ExprImpl.hashCfg(
       s"$seeds|$filter|$maxSeen|$hostBudget|$maxDepth|$respectRobots"))
@@ -157,6 +168,8 @@ object Crawler {
 
     val metrics = Vector.newBuilder[RoundMetrics]
     var stop = false
+    var lastFrontierCount: Long =
+      if (resumeState.isDefined) -1L else cfg.seeds.size.toLong
 
     while (!stop && round < cfg.maxRounds && seenCount <= cfg.maxSeen) {
       val t0 = System.currentTimeMillis()
@@ -173,22 +186,35 @@ object Crawler {
       }
       val selected = politenessSelect(candidates, cfg.hostBudget, cfg.saltBuckets)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val selCount = selected.count()
+      // when nothing filters the frontier, its size is already known from
+      // the previous round — saves one count job per round
+      val noFilters = cfg.hostBudget == Int.MaxValue &&
+        !cfg.respectRobots && cfg.maxDepth == Int.MaxValue
+      val selCount = if (noFilters && lastFrontierCount >= 0) lastFrontierCount
+                     else selected.count()
 
       if (selCount == 0) {
         selected.unpersist()
         stop = true
       } else {
         // --- fetch: join the pages table; broadcast small frontiers -------
-        val selForJoin = if (selCount <= 400000L) broadcast(selected) else selected
-        val fetched = pages.join(selForJoin, Seq("url"), "inner")
+        val selKeyed =
+          if (cfg.pagesBuckets > 0)
+            selected.withColumn("bucket",
+              pmod(xxhash64(col("url")), lit(cfg.pagesBuckets)).cast("int"))
+          else selected
+        val joinKeys = if (cfg.pagesBuckets > 0) Seq("bucket", "url") else Seq("url")
+        val selForJoin = if (selCount <= 400000L) broadcast(selKeyed) else selKeyed
+        val fetched = pages.join(selForJoin, joinKeys, "inner")
           .select(col("url"), col("depth"),
             gfn.extract_links(col("html"), col("url"), lit(cfg.filter), lit(true))
               .as("links"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val fetchAgg = fetched.agg(count(lit(1)), coalesce(sum(size(col("links"))), lit(0L))).head()
-        val fetchCount = fetchAgg.getLong(0)
-        val linksExtracted = fetchAgg.getLong(1)
+        val (fetchCount, linksExtracted) = if (cfg.collectMetrics) {
+          val a = fetched.agg(count(lit(1)),
+            coalesce(sum(size(col("links"))), lit(0L))).head()
+          (a.getLong(0), a.getLong(1))
+        } else (-1L, -1L)
 
         // --- per-round link dedup with min discovery depth -----------------
         val roundLinks = fetched
@@ -196,7 +222,7 @@ object Crawler {
           .groupBy("url")
           .agg(min("depth").as("depth"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val distinctLinks = roundLinks.count()
+        val distinctLinks = if (cfg.collectMetrics) roundLinks.count() else -1L
 
         // --- seen-set dedup: bloom pre-filter + exact anti-join ------------
         val newSeen = if (seenCount == 0) {
@@ -228,7 +254,20 @@ object Crawler {
             val cp = newSeen.localCheckpoint(true)
             (cp, Vector.empty[PartitionLineage])
         }
-        val newCount = newSeenStable.count()
+        // one pass over the materialized delta: row count, seed hits (for
+        // the frontier arithmetic below), and the bloom shard — instead of
+        // three separate jobs
+        val statsRow = newSeenStable.agg(
+          count(lit(1)),
+          coalesce(sum(when(col("url").isInCollection(cfg.seeds), 1L)
+            .otherwise(0L)), lit(0L)),
+          org.apache.spark.sql.graft.Bridge.column(
+            BloomAggExpr(org.apache.spark.sql.graft.Bridge.expression(col("url_hash")),
+              bloomShape._1, bloomShape._2).toAggregateExpression())).head()
+        val newCount = statsRow.getLong(0)
+        val newSeenSeeds = statsRow.getLong(1)
+        if (newCount > 0)
+          driverBloom.mergeInPlace(Bloom.deserialize(statsRow.getAs[Array[Byte]](2)))
         seenCount += newCount
 
         // --- next state -----------------------------------------------------
@@ -237,19 +276,30 @@ object Crawler {
         val frontierAdd = newSeenStable
           .filter(!col("url").isInCollection(cfg.seeds))
           .select(col("url"), gfn.url_host(col("url")).as("host"), col("depth"))
-        val frontierNextRaw = frontier
-          .join(selected.select("url"), Seq("url"), "left_anti")
-          .select("url", "host", "depth")
-          .unionByName(frontierAdd)
+        // with no candidate filters the whole frontier was selected, so the
+        // deferred remainder is empty — skip the anti-join entirely
+        val frontierNextRaw =
+          if (noFilters) frontierAdd
+          else frontier
+            .join(selected.select("url"), Seq("url"), "left_anti")
+            .select("url", "host", "depth")
+            .unionByName(frontierAdd)
 
         val frontierNext = log match {
           case Some(l) =>
             val p = s"${l.dir}/frontier/r$round"
             frontierNextRaw.write.mode("overwrite").parquet(p)
             spark.read.parquet(p)
+          case None if noFilters =>
+            // frontierAdd is a cheap filter over the already-checkpointed
+            // delta — no second materialization job needed
+            frontierNextRaw
           case None => frontierNextRaw.localCheckpoint(true)
         }
-        val frontierCount = frontierNext.count()
+        val frontierCount =
+          if (noFilters) newCount - newSeenSeeds // frontierAdd, arithmetically
+          else frontierNext.count()
+        lastFrontierCount = frontierCount
 
         // keep the seen plan FLAT: one multi-path parquet scan in snapshot
         // mode (not a per-round union tower), a truncated checkpoint in
@@ -259,18 +309,8 @@ object Crawler {
           case None => seen.unionByName(newSeenStable).localCheckpoint(true)
         }
 
-        // --- bloom update ----------------------------------------------------
-        if (newCount > 0) {
-          val bytes = newSeenStable.select(
-            org.apache.spark.sql.graft.Bridge.column(
-              BloomAggExpr(org.apache.spark.sql.graft.Bridge.expression(col("url_hash")),
-                bloomShape._1, bloomShape._2).toAggregateExpression()).as("b"))
-            .head().getAs[Array[Byte]](0)
-          driverBloom.mergeInPlace(Bloom.deserialize(bytes))
-        }
-
         val m = RoundMetrics(round, selCount, fetchCount, linksExtracted,
-          dedupDropped = distinctLinks - newCount,
+          dedupDropped = if (cfg.collectMetrics) distinctLinks - newCount else -1L,
           newSeen = newCount, seenTotal = seenCount,
           frontierNext = frontierCount,
           wallMillis = System.currentTimeMillis() - t0)

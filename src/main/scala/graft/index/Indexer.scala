@@ -20,7 +20,8 @@ final case class IndexTables(
     tfidf: DataFrame,     // url_id, word_id, tfidf, tfidf_r6 (TF_IDF rounded + raw)
     docLen: DataFrame,    // url_id, len                    (URL_LENGTH)
     urlInfo: DataFrame,   // url_id, title, last_modified, size_bytes (URL_INFO)
-    n: Long)              // corpus size (TfIdfMain.kt:19-20)
+    n: Long,              // corpus size (TfIdfMain.kt:19-20)
+    urlWordCount: DataFrame) // url_id, pairs ARRAY<STRUCT<word_id,tf>> count-desc (A3)
 
 object Indexer {
 
@@ -116,6 +117,16 @@ object Indexer {
       .agg(count(lit(1)).cast("int").as("tf"), min("pos").as("first_pos"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // A3: per-doc word-count list, count desc with FIRST-OCCURRENCE-stable
+    // ties (SpiderMain.kt:167-174 — Kotlin's stable sortedByDescending over
+    // a LinkedHashMap); encoded as sort by (-count, first_pos)
+    val urlWordCount = postings.groupBy("url_id")
+      .agg(transform(
+        sort_array(collect_list(struct((-col("tf")).as("neg"),
+          col("first_pos"), col("word_id"), col("tf")))),
+        x => struct(x.getField("word_id").as("word_id"), x.getField("tf").as("tf")))
+        .as("pairs"))
+
     // maxTf = first count of the count-desc list (WebController.kt:64-65)
     val maxTf = postings.groupBy("url_id").agg(max("tf").as("max_tf"))
 
@@ -150,6 +161,13 @@ object Indexer {
       coalesce(octet_length(col("html")), lit(0)).as("size_bytes"))
 
     IndexTables(urlDict, links, docWords, wordDict, postings, maxTf, tfidf,
-      docLen, urlInfo, n)
+      docLen, urlInfo, n, urlWordCount)
   }
+
+  /** S6: the reference's quoted-CSV value encoding (CSVParser.kt:10-34 /
+    * opencsv CSVWriter — every field double-quoted, comma-joined). Only
+    * needed when a fixture pins the exact storage string; the engine's
+    * native representation is ArrayType. */
+  def csvQuoted(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(",", transform(arr, x => concat(lit("\""), x.cast("string"), lit("\""))))
 }

@@ -142,4 +142,46 @@ object Searcher {
         row_number().over(Window.orderBy(desc("total"), asc("url_id"))))
       .select("rank", "url_id", "url", "total", "cos", "pr", "title_score", "title")
   }
+
+  /** J7/T4/F12: the SERP metadata block — one multi-way left join of the
+    * top-K ids against url_info, the per-doc top-5 term list (first 5
+    * entries of the count-desc list, WebController.kt:134-140), PageRank,
+    * and the child/parent url lists (parent = transposed edge list — free
+    * on (src,dst), no second table; WebController.kt:104-142). Dates render
+    * in Asia/Hong_Kong at display time only (WebController.kt:30-33). */
+  def serpDetails(p: Prepared, serp: DataFrame): DataFrame = {
+    val idx = p.index
+    val childLists = idx.links
+      .join(idx.urlDict.select(col("url_id").as("dst"), col("url").as("curl")), "dst")
+      .groupBy(col("src").as("url_id"))
+      .agg(sort_array(collect_list("curl")).as("child_urls"))
+    val parentLists = idx.links
+      .join(idx.urlDict.select(col("url_id").as("src"), col("url").as("purl")), "src")
+      .groupBy(col("dst").as("url_id"))
+      .agg(sort_array(collect_list("purl")).as("parent_urls"))
+    val top5 = idx.urlWordCount
+      .select(col("url_id"), posexplode(slice(col("pairs"), 1, 5)).as(Seq("i", "p")))
+      .join(idx.wordDict, col("p.word_id") === idx.wordDict("word_id"))
+      .groupBy("url_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("i").as("i"), col("word").as("word"),
+          col("p.tf").as("tf")))),
+        x => struct(x.getField("word").as("word"), x.getField("tf").as("tf")))
+        .as("top_terms"))
+
+    serp
+      .join(idx.urlInfo.select("url_id", "last_modified", "size_bytes"), Seq("url_id"))
+      .join(childLists, Seq("url_id"), "left")
+      .join(parentLists, Seq("url_id"), "left")
+      .join(top5, Seq("url_id"), "left")
+      .withColumn("last_modified_hkt",
+        date_format(from_utc_timestamp(col("last_modified"), "Asia/Hong_Kong"),
+          "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("child_urls", coalesce(col("child_urls"), array()))
+      .withColumn("parent_urls", coalesce(col("parent_urls"), array()))
+      .select("rank", "url_id", "url", "total", "cos", "pr", "title_score",
+        "title", "last_modified_hkt", "size_bytes", "top_terms",
+        "parent_urls", "child_urls")
+      .orderBy("rank")
+  }
 }

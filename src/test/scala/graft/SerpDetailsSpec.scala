@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.TestCorpus
+import graft.crawler.{CrawlConfig, Crawler}
+import graft.index.Indexer
+import graft.oracle.ReferenceOracle
+import graft.oracle.ReferenceOracle.CrawlParams
+import graft.rank.{PageRankSpark, Searcher}
+
+/** A3/T4/J7/S6/F11 fixtures: the word-count list ordering, top-5 terms,
+  * SERP metadata joins, CSV fixture encoding, 6-dp string form. */
+class SerpDetailsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val corpus = TestCorpus.generate(TestCorpus.tiny)
+  private lazy val pagesDf = spark.createDataset(corpus).toDF().cache()
+  private val seeds = Seq(TestCorpus.seedUrl)
+  private val filter = TestCorpus.filterPrefix
+  private lazy val oCrawl = ReferenceOracle.crawl(corpus, CrawlParams(seeds, filter))
+  private lazy val oIdx = ReferenceOracle.buildIndex(corpus, oCrawl.seen, filter)
+  private lazy val eCrawl = Crawler.run(spark, pagesDf, CrawlConfig(seeds, filter))
+  private lazy val eIdx = Indexer.build(spark, pagesDf, eCrawl.seen, filter, 4)
+
+  test("A3: word-count list = count desc, first-occurrence-stable ties") {
+    val engine = eIdx.urlWordCount
+      .select(col("url_id"), col("pairs"))
+      .as[(Long, Seq[(Long, Int)])].collect().toMap
+    val oracle = oIdx.wordCountList.filter(_._2.nonEmpty)
+    assert(engine.keySet == oracle.keySet)
+    oracle.foreach { case (d, wc) =>
+      assert(engine(d) == wc, s"word-count list mismatch for doc $d") }
+  }
+
+  test("T4/J7/F12: serpDetails metadata block matches the oracle index") {
+    val ranks = PageRankSpark.run(eIdx.links, eIdx.urlDict.select("url_id"), 40)
+    val prepared = Searcher.prepare(eIdx, ranks)
+    val serp = Searcher.search(spark, prepared, "research systems")
+    val details = Searcher.serpDetails(prepared, serp)
+    assert(details.count() == serp.count())
+
+    val row = details.orderBy("rank").head()
+    val id = row.getAs[Long]("url_id")
+    // top-5 terms = first 5 of the oracle's count-desc list
+    val gotTerms = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top_terms")
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    val wordById = oIdx.wordIds.map(_.swap)
+    val expTerms = oIdx.wordCountList(id).take(5)
+      .map { case (w, c) => (wordById(w), c) }
+    assert(gotTerms == expTerms)
+    // child/parent lists match the oracle adjacency (as url sets)
+    val urlById = oIdx.urlsById
+    val expChildren = oIdx.links(id).map(i => urlById(i.toInt)).sorted
+    assert(row.getAs[scala.collection.Seq[String]]("child_urls").toSeq == expChildren)
+    val expParents = oIdx.links.toSeq.collect {
+      case (s, ds) if ds.contains(id) => urlById(s.toInt) }.sorted
+    assert(row.getAs[scala.collection.Seq[String]]("parent_urls").toSeq == expParents)
+    // HKT render shape
+    assert(row.getAs[String]("last_modified_hkt")
+      .matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"))
+  }
+
+  test("S6: quoted-CSV fixture encoding matches the reference's opencsv form") {
+    val df = Seq((Seq(3L, 17L, 42L), Seq("a", "b"))).toDF("ids", "ws")
+    val got = df.select(Indexer.csvQuoted(col("ids")).as("c1"),
+      Indexer.csvQuoted(col("ws")).as("c2")).head()
+    assert(got.getString(0) == "\"3\",\"17\",\"42\"") // CSVParser.kt example form
+    assert(got.getString(1) == "\"a\",\"b\"")
+  }
+
+  test("F11: %.6f string form of tfidf matches the oracle's storage string") {
+    val engine = eIdx.tfidf
+      .select(col("url_id"), col("word_id"), format_string("%.6f", col("tfidf")).as("s"))
+      .as[(Long, Long, String)].collect()
+      .map { case (d, w, s) => (d, w) -> s }.toMap
+    oIdx.tfidfRaw.foreach { case (k, raw) =>
+      assert(engine(k) == "%.6f".format(raw), s"string form mismatch at $k") }
+  }
+}
