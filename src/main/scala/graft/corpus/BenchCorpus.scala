@@ -64,10 +64,10 @@ object BenchCorpus {
     // parse-heavy body: several paragraphs so the fetch join's extraction
     // cost dominates fixed per-round driver overhead at bench scale
     var para = 0
-    val nPara = 3 + next(3)
+    val nPara = 8 + next(4)
     while (para < nPara) {
       sb.append("<p>")
-      val nw = 30 + next(40)
+      val nw = 50 + next(40)
       var w = 0
       while (w < nw) { sb.append(words(next(words.length))).append(' '); w += 1 }
       sb.append("</p>")
