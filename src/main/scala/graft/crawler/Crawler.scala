@@ -204,8 +204,19 @@ object Crawler {
               pmod(xxhash64(col("url")), lit(cfg.pagesBuckets)).cast("int"))
           else selected
         val joinKeys = if (cfg.pagesBuckets > 0) Seq("bucket", "url") else Seq("url")
+        // manual partition pruning: Spark's DPP heuristic won't fire for an
+        // unfiltered frontier side, so when the frontier is small enough
+        // that it plausibly misses buckets, collect its ≤pagesBuckets
+        // distinct bucket ids (tiny driver action) and push a static IN
+        // filter — the scan then reads only the touched partitions
+        val pagesSide =
+          if (cfg.pagesBuckets > 0 && selCount < 8L * cfg.pagesBuckets) {
+            val buckets = selKeyed.select("bucket").distinct()
+              .collect().map(_.getInt(0)).toSeq
+            pages.filter(col("bucket").isInCollection(buckets))
+          } else pages
         val selForJoin = if (selCount <= 400000L) broadcast(selKeyed) else selKeyed
-        val fetched = pages.join(selForJoin, joinKeys, "inner")
+        val fetched = pagesSide.join(selForJoin, joinKeys, "inner")
           .select(col("url"), col("depth"),
             gfn.extract_links(col("html"), col("url"), lit(cfg.filter), lit(true))
               .as("links"))
