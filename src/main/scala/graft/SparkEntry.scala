@@ -34,12 +34,37 @@ object SparkEntry {
     spark.createDataset(demoCorpus).toDF()
   }
 
-  private def crawlDemo(spark: SparkSession) = {
-    val pages = demoPages(spark).cache()
-    val crawl = Crawler.run(spark, pages,
-      CrawlConfig(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix))
-    (pages, crawl)
-  }
+  // the crawl/index/rank queries share one deterministic pipeline run —
+  // memoized per session so Verify doesn't redo the crawl per query
+  private var demoCache: Option[(SparkSession, DataFrame, graft.crawler.CrawlResult)] = None
+  private var indexCache: Option[(SparkSession, graft.index.IndexTables, DataFrame)] = None
+
+  private def crawlDemo(spark: SparkSession): (DataFrame, graft.crawler.CrawlResult) =
+    synchronized {
+      demoCache match {
+        case Some((s, p, c)) if s eq spark => (p, c)
+        case _ =>
+          val pages = demoPages(spark).cache()
+          val crawl = Crawler.run(spark, pages,
+            CrawlConfig(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix))
+          demoCache = Some((spark, pages, crawl))
+          (pages, crawl)
+      }
+    }
+
+  private def demoIndex(spark: SparkSession): (graft.index.IndexTables, DataFrame) =
+    synchronized {
+      indexCache match {
+        case Some((s, i, r)) if s eq spark => (i, r)
+        case _ =>
+          val (pages, crawl) = crawlDemo(spark)
+          val index = Indexer.build(spark, pages, crawl.seen, TestCorpus.filterPrefix, 8)
+          val ranks = PageRankSpark.run(index.links, index.urlDict.select("url_id"), 40)
+            .cache()
+          indexCache = Some((spark, index, ranks))
+          (index, ranks)
+      }
+    }
 
   /** Flagship query (driver smoke-checks rows>0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
@@ -214,18 +239,34 @@ object SparkEntry {
     }),
 
     "q_serp" -> ((s, _) => {
-      val (pages, crawl) = crawlDemo(s)
-      val index = Indexer.build(s, pages, crawl.seen, TestCorpus.filterPrefix, 8)
-      val ranks = PageRankSpark.run(index.links, index.urlDict.select("url_id"), 40)
+      val (index, ranks) = demoIndex(s)
       Searcher.search(s, Searcher.prepare(index, ranks), "\"hong kong\" research")
     }),
 
+    "q_serp_details" -> ((s, _) => {
+      // J7/T4/F12: full metadata block (top-5 terms, parent/child lists,
+      // HKT-rendered dates) on the top-10 of a query
+      val (index, ranks) = demoIndex(s)
+      val prepared = Searcher.prepare(index, ranks)
+      val serp = Searcher.search(s, prepared, "research systems", topK = 10)
+      Searcher.serpDetails(prepared, serp)
+        .select("rank", "url_id", "url", "title", "last_modified_hkt",
+          "size_bytes", "parent_urls", "child_urls")
+    }),
+
+    "q_crawl_polite" -> ((s, _) => {
+      // politeness budget + robots: discovered-but-never-fetched urls stay
+      // in the frontier (deterministic; fixture-matched to the oracle)
+      val pages = demoPages(s).cache()
+      val crawl = Crawler.run(s, pages, CrawlConfig(
+        Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix,
+        hostBudget = 2, respectRobots = true))
+      crawl.frontier.select("url", "depth").orderBy("url")
+    }),
+
     "q_pagerank" -> ((s, _) => {
-      val (pages, crawl) = crawlDemo(s)
-      val index = Indexer.build(s, pages, crawl.seen, TestCorpus.filterPrefix, 8)
-      PageRankSpark.run(index.links, index.urlDict.select("url_id"), 40)
-        .withColumn("rank", round(col("rank"), 6))
-        .orderBy("url_id")
+      val (_, ranks) = demoIndex(s)
+      ranks.withColumn("rank", round(col("rank"), 6)).orderBy("url_id")
     }),
 
     // ---------------- multimodal plumbing (stubbed decode) ------------------
