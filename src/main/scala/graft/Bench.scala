@@ -158,11 +158,17 @@ object Bench {
     val (nLow, nHigh) = (pair(0).trim.toInt, pair(1).trim.toInt)
     var bestLow = (0L, Double.MaxValue, 0.0)
     var bestHigh = (0L, Double.MaxValue, 0.0)
-    for (_ <- 1 to 2) {
+    // wall budget: always finish and print the JSON even when the host is
+    // contended — the second alternation only runs if time remains
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MS", "900000").toLong
+    val tBench = System.currentTimeMillis()
+    var alt = 0
+    while (alt < 2 && (alt == 0 || System.currentTimeMillis() - tBench < budgetMs)) {
       val rl = forkCrawl(nLow, pagesPath, reps = 3)
       if (rl._2 < bestLow._2) bestLow = rl
       val rh = forkCrawl(nHigh, pagesPath, reps = 3)
       if (rh._2 < bestHigh._2) bestHigh = rh
+      alt += 1
     }
     val (seenLow, secLow, cpuLow) = bestLow
     val (seenHigh, secHigh, cpuHigh) = bestHigh

@@ -254,6 +254,14 @@ object SparkEntry {
           "size_bytes", "parent_urls", "child_urls")
     }),
 
+    "q_extract_invariant" -> ((s, _) => {
+      // the per-row invariant of BASELINE.json:input_hint — extract_text(html)
+      // byte-identical to pages.text for every corpus row
+      demoPages(s).select(col("url"),
+          (gfn.extract_text(col("html")) === col("text")).as("byte_identical"))
+        .orderBy("url")
+    }),
+
     "q_crawl_polite" -> ((s, _) => {
       // politeness budget + robots: discovered-but-never-fetched urls stay
       // in the frontier (deterministic; fixture-matched to the oracle)
