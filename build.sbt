@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes STRAIGHT to stdout, no "[info] " log prefix:
+// graft.Bench / graft.Verify print machine-parsed JSON lines and the
+// driver's parser must see them bare (round 1 recorded "parsed": null
+// because sbt's logger prefixed the line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

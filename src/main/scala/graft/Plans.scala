@@ -77,8 +77,28 @@ object Plans {
     section("tfidf DAG: partial aggregation") {
       idx.tfidf
     }
-    section("minhash LSH: shingle window + band self-join") {
+    section("minhash LSH: shingle arrays + band self-join") {
       T.minhashLshPairs(spark.read.parquet(s"$sf/documents.parquet"))
+    }
+    section("trigram shingles: row-local array transform (ZERO exchanges expected)") {
+      T.trigramShingles(spark.read.parquet(s"$sf/documents.parquet"))
+    }
+
+    // PageRank §8: the weighted edge table is repartition(src)+persisted —
+    // one iteration's contribution join must show NO Exchange above the
+    // InMemoryTableScan on the edge side (only the ranks side shuffles)
+    section("pagerank iteration: cached src-partitioning reused on the edge side") {
+      import org.apache.spark.storage.StorageLevel
+      val weighted = idx.links
+        .join(idx.links.groupBy("src").agg(count(lit(1)).as("out_deg")), Seq("src"))
+        .select(col("src"), col("dst"), (lit(1.0) / col("out_deg")).as("w"))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      weighted.count()
+      val ranks = idx.urlDict.select(col("url_id"), lit(1.0).as("rank"))
+      weighted.join(ranks.withColumnRenamed("url_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("url_id"))
+        .agg(sum(col("w") * col("rank")).as("incoming"))
     }
     spark.stop()
   }

@@ -245,13 +245,18 @@ object SparkEntry {
 
     "q_serp_details" -> ((s, _) => {
       // J7/T4/F12: full metadata block (top-5 terms, parent/child lists,
-      // HKT-rendered dates) on the top-10 of a query
+      // HKT-rendered dates) on the top-10 of a query. The driver-facing
+      // projection stringifies the url lists (the compare harness hashes
+      // values and chokes on arrays); the ARRAY form stays on serpDetails
+      // and its ScalaTest fixture.
       val (index, ranks) = demoIndex(s)
       val prepared = Searcher.prepare(index, ranks)
       val serp = Searcher.search(s, prepared, "research systems", topK = 10)
       Searcher.serpDetails(prepared, serp)
-        .select("rank", "url_id", "url", "title", "last_modified_hkt",
-          "size_bytes", "parent_urls", "child_urls")
+        .select(col("rank"), col("url_id"), col("url"), col("title"),
+          col("last_modified_hkt"), col("size_bytes"),
+          concat_ws(",", col("parent_urls")).as("parent_urls"),
+          concat_ws(",", col("child_urls")).as("child_urls"))
     }),
 
     "q_extract_invariant" -> ((s, _) => {
@@ -461,6 +466,72 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig)
         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        |ORDER BY a, b""".stripMargin,
+
+    // portable SimHash: token hash = md5_number_lower (last 8 digest bytes,
+    // little-endian) = graft's TextExprImpl.md5Lower64; +1/−1 bit votes;
+    // signed fingerprint reconstructed in two's complement (bit 63 → −2^63)
+    "q_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0,64)) AS b) bits
+        |  GROUP BY 1,2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN v > 0 THEN
+        |    CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(b AS INT)) END
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the oracle brute-forces ALL pairs (n=500 at sf0.01) — so it also
+    // verifies the engine's (h+1)-block candidate generation is COMPLETE
+    // for hamming <= 6, not just that surviving pairs are correct
+    "q_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0,64)) AS b) bits
+        |  GROUP BY 1,2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v > 0 THEN (1::UBIGINT << CAST(b AS INT)) ELSE 0::UBIGINT END) AS u
+        |  FROM votes WHERE b < 63 GROUP BY doc_id),
+        |fp64 AS (
+        |  SELECT f.doc_id, f.u + CASE WHEN v63.v > 0 THEN 9223372036854775808::UBIGINT
+        |                              ELSE 0::UBIGINT END AS u
+        |  FROM fp f JOIN (SELECT doc_id, v FROM votes WHERE b = 63) v63 USING (doc_id))
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.u, y.u)) AS BIGINT) AS hamming
+        |FROM fp64 x JOIN fp64 y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.u, y.u)) <= 6
+        |ORDER BY a, b""".stripMargin,
+
+    // portable winnowing (k=8 char-grams, window w=4): gram hash =
+    // md5_number_lower two's-complemented; per-window list_min; distinct
+    "q_winnow_pairs" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text)-8+2), i ->
+        |      CAST(CAST(md5_number_lower(text[i:i+7]) AS HUGEINT) -
+        |        CASE WHEN md5_number_lower(text[i:i+7]) >= 9223372036854775808::UBIGINT
+        |             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)) AS g
+        |  FROM documents WHERE length(text) >= 8),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(g) <= 4 THEN [list_min(g)]
+        |         ELSE list_sort(list_distinct(list_transform(range(0, len(g)-4+1), s ->
+        |                list_min(g[s+1:s+4])))) END AS fps
+        |  FROM grams),
+        |fp AS (SELECT doc_id, unnest(fps) AS f FROM fps)
+        |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+        |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+        |GROUP BY 1,2 HAVING COUNT(*) >= 60
         |ORDER BY a, b""".stripMargin,
 
     "q_cosine_topk" ->

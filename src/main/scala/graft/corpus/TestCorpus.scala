@@ -134,11 +134,30 @@ object TestCorpus {
       val b = new PageBuilder
 
       // --- head ---
-      b.raw("<html><head><title>")
+      // title-construct inventory pinning HTMLParser.kt:186-195 semantics:
+      //  i%19==7  → NO title element        → title "Unauthorized"
+      //  i%23==9  → empty <title></title>   → lastChild null → title ""
+      //  i%11==4  → nested tag in the title → title = lastChild subtree text
+      //  otherwise a plain one-text-node title
       val titleWords = (0 to rng.nextInt(3)).map(_ =>
         contentWords(rng.nextInt(contentWords.length)))
-      b.visible(titleWords.mkString(" ") + " page " + i)
-      b.raw("</title><script>var hidden = \"<b>never text</b>\";</script>" +
+      b.raw("<html><head>")
+      if (i % 19 == 7) {
+        // no <title> at all
+      } else if (i % 23 == 9) {
+        b.raw("<title></title>")
+      } else if (i % 11 == 4) {
+        b.raw("<title>")
+        b.visible(titleWords.mkString(" ") + " ")
+        b.raw("<b>")
+        b.visible("page " + i) // the <b> subtree is the lastChild → the title
+        b.raw("</b></title>")
+      } else {
+        b.raw("<title>")
+        b.visible(titleWords.mkString(" ") + " page " + i)
+        b.raw("</title>")
+      }
+      b.raw("<script>var hidden = \"<b>never text</b>\";</script>" +
         "<style>.x{color:red}</style></head><body>")
 
       // --- paragraphs ---

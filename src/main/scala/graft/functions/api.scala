@@ -33,8 +33,12 @@ object gfn {
     column(CountPhraseExpr(expression(words), expression(phrase)))
 
   def simhash(tokens: Column): Column = column(SimHashExpr(expression(tokens)))
+  def simhash_md5(tokens: Column): Column = column(SimHashMd5Expr(expression(tokens)))
   def winnow_fingerprints(text: Column, k: Column, w: Column): Column =
     column(WinnowExpr(expression(text), expression(k), expression(w)))
+  def winnow_md5(text: Column, k: Column, w: Column): Column =
+    column(WinnowMd5Expr(expression(text), expression(k), expression(w)))
+  def round6_exact(x: Column): Column = column(Round6Expr(expression(x)))
 
   /** Bloom aggregate over a LONG hash column; shape from expected items/fpp. */
   def bloom_agg(hash: Column, expectedItems: Long, fpp: Double): Column = {

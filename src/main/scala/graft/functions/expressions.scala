@@ -24,6 +24,13 @@ object ExprImpl {
     h
   }
 
+  /** 6-dp HALF_UP rounding of the EXACT binary double value — matching the
+    * reference's `"%.6f".format(x)` (TfIdfMain.kt:35) and the sequential
+    * oracle's round6, NOT Spark's `round()` (which rounds the shortest
+    * decimal representation and can differ on exact half-boundary values). */
+  def round6(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def porterStem(s: UTF8String): UTF8String =
     UTF8String.fromString(Porter.stripAffixes(s.toString))
 
@@ -38,10 +45,12 @@ object ExprImpl {
   def extractText(html: Array[Byte]): UTF8String =
     UTF8String.fromString(Html.parseBytes(html).text)
 
-  /** Title of the first <title> element; "" when absent (the reference's
-    * null-title fallback, HTMLParser.kt:191). */
+  /** lastChild of the first <title> element (HTMLParser.kt:191); a page
+    * with NO title element yields "Unauthorized" — the reference's
+    * elementAt(0) throws ArrayIndexOutOfBounds on the empty node list and
+    * the catch returns that fallback (HTMLParser.kt:193). */
   def extractTitle(html: Array[Byte]): UTF8String =
-    UTF8String.fromString(Html.parseBytes(html).title.getOrElse(""))
+    UTF8String.fromString(Html.parseBytes(html).title.getOrElse("Unauthorized"))
 
   private val datePat = java.util.regex.Pattern.compile("(\\d{4})-(\\d{1,2})-(\\d{1,2})")
 
@@ -118,6 +127,19 @@ object ExprImpl {
     }
     count
   }
+}
+
+/** `round6_exact(x DOUBLE) → DOUBLE` — exact-binary-value 6-dp HALF_UP
+  * rounding (Java `%.6f` semantics; see ExprImpl.round6). */
+case class Round6Expr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "round6_exact"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.round6(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.round6($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 trait GraftUnaryString { self: UnaryExpression =>

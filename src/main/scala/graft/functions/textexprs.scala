@@ -18,16 +18,42 @@ object TextExprImpl {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Signed little-endian int64 of the LAST 8 md5-digest bytes —
+    * bit-identical to DuckDB's `md5_number_lower(s)` reinterpreted as a
+    * two's-complement BIGINT, so oracle SQL can recompute it exactly.
+    * Slower than [[hash64]]; used only by the portable (oracle-matched)
+    * fingerprint variants. */
+  def md5Lower64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (d(8 + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
   /** Charikar SimHash over a token array: per-token 64-bit hash votes
     * +1/−1 on each bit position; the sign vector is the fingerprint.
     * Near-duplicate docs differ in few bits (small Hamming distance). */
-  def simhash(tokens: ArrayData): Long = {
+  def simhash(tokens: ArrayData): Long = simhashWith(tokens, md5 = false)
+
+  /** SimHash over [[md5Lower64]] token hashes — DuckDB-reproducible. */
+  def simhashMd5(tokens: ArrayData): Long = simhashWith(tokens, md5 = true)
+
+  private def simhashWith(tokens: ArrayData, md5: Boolean): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hash64(tokens.getUTF8String(i))
+        val s = tokens.getUTF8String(i)
+        val h = if (md5) md5Lower64(s) else hash64(s)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -46,21 +72,35 @@ object TextExprImpl {
     * rolling 64-bit hashes of every k-gram (by char), then the minimum hash
     * of each window of w consecutive k-grams, deduplicated, sorted. Robust
     * local fingerprints for near-duplicate detection at corpus scale. */
-  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData =
+    winnowWith(text, k, w, md5 = false)
+
+  /** Winnowing over [[md5Lower64]] k-gram hashes — DuckDB-reproducible
+    * (oracle: `md5_number_lower(text[i:i+k-1])` two's-complemented, window
+    * minima via `list_min`). Char-indexed k-grams; identical to the oracle
+    * on the ASCII corpus. */
+  def winnowMd5(text: UTF8String, k: Int, w: Int): ArrayData =
+    winnowWith(text, k, w, md5 = true)
+
+  private def winnowWith(text: UTF8String, k: Int, w: Int, md5: Boolean): ArrayData = {
     val s = text.toString
     val n = s.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val grams = new Array[Long](n - k + 1)
     var i = 0
     while (i + k <= n) {
-      // polynomial rolling hash, then splitmix avalanche
-      var h = 1125899906842597L
-      var j = 0
-      while (j < k) { h = h * 31 + s.charAt(i + j); j += 1 }
-      var z = h + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      grams(i) = z ^ (z >>> 31)
+      if (md5) {
+        grams(i) = md5Lower64(UTF8String.fromString(s.substring(i, i + k)))
+      } else {
+        // polynomial rolling hash, then splitmix avalanche
+        var h = 1125899906842597L
+        var j = 0
+        while (j < k) { h = h * 31 + s.charAt(i + j); j += 1 }
+        var z = h + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        grams(i) = z ^ (z >>> 31)
+      }
       i += 1
     }
     val picked = scala.collection.mutable.SortedSet.empty[Long]
@@ -91,6 +131,19 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `simhash_md5(tokens ARRAY<STRING>) → LONG` — the portable SimHash
+  * variant (md5-hashed tokens) that the DuckDB oracle recomputes exactly. */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprImpl.simhashMd5(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.simhashMd5($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `winnow_fingerprints(text, k, w) → ARRAY<LONG>` — winnowed k-gram
   * fingerprint set. */
 case class WinnowExpr(first: Expression, second: Expression, third: Expression)
@@ -102,6 +155,22 @@ case class WinnowExpr(first: Expression, second: Expression, third: Expression)
     TextExprImpl.winnow(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.TextExprImpl.winnow($t, $k, $w)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** `winnow_md5(text, k, w) → ARRAY<LONG>` — the portable winnowing variant
+  * (md5-hashed k-grams) that the DuckDB oracle recomputes exactly. */
+case class WinnowMd5Expr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_md5"
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    TextExprImpl.winnowMd5(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.TextExprImpl.winnowMd5($t, $k, $w)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)

@@ -15,9 +15,14 @@ import scala.collection.mutable.ArrayBuffer
   *    whitespace, every whitespace run collapsed to a single space,
   *    leading/trailing whitespace trimmed. This is the byte-identical
   *    per-url invariant vs the `pages.text` column.
-  *  - `title`: decoded text content of the FIRST `<title>` element
-  *    (HTMLParser.kt:186-195 takes the title tag's last child — for plain
-  *    titles that is its text), None when absent.
+  *  - `title`: the LAST CHILD of the first `<title>` element, as plain
+  *    decoded text (HTMLParser.kt:186-195: `elementAt(0)?.lastChild?.
+  *    toPlainTextString() ?: ""`). For a plain title the last child is its
+  *    single text node; for `<title>A <b>B</b></title>` it is the `<b>`
+  *    subtree → "B"; for `<title></title>` lastChild is null → Some("").
+  *    None when no `<title>` exists at all (the reference then throws
+  *    ArrayIndexOutOfBounds out of `elementAt(0)` and the catch yields
+  *    "Unauthorized" — the CALLER maps None to that fallback).
   *  - `hrefs`: `href` attribute of every `<a>` tag in document order,
   *    entity-decoded, NOT resolved or canonicalized.
   *  - `copyright`: decoded plain text of the FIRST `<p class="copyright">`
@@ -41,12 +46,28 @@ object Html {
     var title: String = null
     var copyright: String = null
 
-    var titleBuf: java.lang.StringBuilder = null    // non-null while inside first <title>
+    // --- first-<title> lastChild tracking (HTMLParser.kt:191) -------------
+    var inTitle = false          // inside the FIRST <title> element
+    var titleClosed = false      // that element has been closed
+    var titleDepth = 0           // element nesting depth inside the title
+    var titleCur: java.lang.StringBuilder = null // open child (text node @depth 0, element subtree @depth>0)
+    var titleLast: String = null // last COMPLETED top-level child's plain text
+    def titlePushCur(): Unit =
+      if (titleCur != null) { titleLast = titleCur.toString; titleCur = null }
+    def titleFinish(): Unit = {
+      titlePushCur()
+      title = if (titleLast != null) titleLast else "" // no children → lastChild null → ""
+      inTitle = false; titleClosed = true
+    }
+
     var copyBuf: java.lang.StringBuilder = null     // non-null while inside first <p class=copyright>
     var lastWasSpace = true                          // collapse state; true ⇒ swallow leading ws
 
     def emit(c: Char): Unit = {
-      if (titleBuf != null) titleBuf.append(c)
+      if (inTitle) {
+        if (titleCur == null) titleCur = new java.lang.StringBuilder
+        titleCur.append(c)
+      }
       if (copyBuf != null) copyBuf.append(c)
       if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00a0') {
         if (!lastWasSpace) { text.append(' '); lastWasSpace = true }
@@ -73,6 +94,7 @@ object Html {
             val closing = rawTag.startsWith("/")
             val body = if (closing) rawTag.substring(1) else rawTag
             val name = tagName(body)
+            val selfClosing = !closing && rawTag.endsWith("/")
             emitTagBreak()
             if (!closing) {
               if (name == "script" || name == "style") {
@@ -84,10 +106,17 @@ object Html {
                       if (gt < 0) n else gt + 1
                     }
               } else {
-                if (name == "a") {
+                if (name == "a")
                   attrValue(body, "href").foreach(h => hrefs += decodeEntities(h))
-                } else if (name == "title" && title == null && titleBuf == null) {
-                  titleBuf = new java.lang.StringBuilder
+                if (name == "title" && !inTitle && !titleClosed) {
+                  inTitle = true; titleDepth = 0; titleCur = null; titleLast = null
+                } else if (inTitle && name != "title") {
+                  // a nested element starts/extends a non-text child node
+                  if (titleDepth == 0) {
+                    titlePushCur() // close the open text node
+                    if (selfClosing) titleLast = "" // childless element node
+                    else { titleDepth = 1; titleCur = new java.lang.StringBuilder }
+                  } else if (!selfClosing) titleDepth += 1
                 } else if (name == "p" && copyright == null && copyBuf == null &&
                            attrValue(body, "class").contains("copyright")) {
                   copyBuf = new java.lang.StringBuilder
@@ -96,8 +125,11 @@ object Html {
               }
             } else {
               // buffers already received decoded chars via emit()
-              if (name == "title" && titleBuf != null) {
-                title = titleBuf.toString; titleBuf = null
+              if (name == "title" && inTitle) {
+                titleFinish()
+              } else if (inTitle && titleDepth > 0) {
+                titleDepth -= 1
+                if (titleDepth == 0) titlePushCur() // element child completed
               } else if (name == "p" && copyBuf != null) {
                 copyright = copyBuf.toString; copyBuf = null
               }
@@ -115,6 +147,10 @@ object Html {
         i += 1
       }
     }
+
+    // EOF with the title element still open: flush as if closed (the
+    // reference's scanner auto-closes dangling composites at EOF)
+    if (inTitle) titleFinish()
 
     // trim the single trailing space the collapse may have left
     val t = text.toString

@@ -139,7 +139,11 @@ object Indexer {
       .withColumn("tfidf",
         col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double"))
           / lit(math.log(2.0)))
-      .withColumn("tfidf_r6", round(col("tfidf"), 6))
+      // exact-binary-value rounding (gfn.round6_exact), NOT Spark's round():
+      // the reference formats with "%.6f" (java.math.BigDecimal semantics);
+      // Spark's round() rounds the shortest decimal repr, which can differ
+      // on exact 6-dp half-boundary doubles
+      .withColumn("tfidf_r6", gfn.round6_exact(col("tfidf")))
       .select("url_id", "word_id", "tfidf", "tfidf_r6")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -151,10 +155,13 @@ object Indexer {
     // F8-F10: metadata; warc_ts plays the Last-Modified header, the
     // copyright paragraph is the fallback, then the reference default
     // (HTMLParser.kt:197-223)
+    // title: lastChild of the first <title>; ANY fetch/parse failure —
+    // including a page missing from the table — yields "Unauthorized"
+    // (HTMLParser.kt:186-195 catch-all)
     val urlInfo = docs.select(
       col("url_id"),
       when(col("html").isNotNull, gfn.extract_title(col("html")))
-        .otherwise(lit("")).as("title"),
+        .otherwise(lit("Unauthorized")).as("title"),
       coalesce(col("warc_ts"),
         when(col("html").isNotNull, gfn.extract_copyright_date(col("html"))),
         to_timestamp(lit("1990-01-01 00:00:00"))).as("last_modified"),

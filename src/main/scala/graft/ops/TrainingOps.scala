@@ -95,27 +95,66 @@ object TrainingOps {
     docs.agg(count(lit(1)).as("total_docs"),
       countDistinct(md5(col("text"))).as("distinct_docs"))
 
-  /** distinct word-trigram shingles per doc (doc_id, shingle) — the shared
-    * building block of the Jaccard and MinHash paths. lead() windows keep
-    * the construction identical to the SQL oracle. */
-  def trigramShingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs.select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w))
-          .as("shingle"),
-        lead("tok", 2).over(w).isNotNull.as("full"))
-      .filter(col("full"))
-      .select("doc_id", "shingle")
-      .distinct()
+  /** Default hot-bucket cap for all pairwise dedup ops: a bucket key (a
+    * shingle, a band signature, a simhash block, a winnow fingerprint)
+    * shared by df docs yields df² candidate pairs in the self-join — one
+    * boilerplate shingle shared by 10⁶ docs would be 10¹² pairs at 100 TB.
+    * Keys hotter than this are dropped BEFORE the join (they carry no
+    * near-dup signal anyway; a df-10⁵ shingle is stop-phrase boilerplate).
+    * Fixture corpora sit far below the cap, so oracle outputs are
+    * unaffected; PropertySpecs pin both facts. */
+  val DefaultMaxBucketDf: Long = 100000L
+
+  /** Drop bucket keys whose posting count exceeds maxDf before a pairwise
+    * self-join (skew guard, see [[DefaultMaxBucketDf]]). The hot-key set is
+    * tiny by construction (≤ |rows|/maxDf keys) — broadcast anti-join.
+    * maxDf <= 0 disables. */
+  private def capHotKeys(df: DataFrame, maxDf: Long, keys: String*): DataFrame = {
+    if (maxDf <= 0L) df
+    else {
+      val hot = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+        .select(keys.map(col): _*)
+      // using-columns joins move the keys to the front — restore the order
+      df.join(broadcast(hot), keys.toSeq, "left_anti")
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    }
   }
+
+  /** distinct word-trigram shingles per doc as one row-local ARRAY column —
+    * ZERO shuffle: shingles are a pure function of the token array, built
+    * exactly like the DuckDB oracle's `list_transform` (a lead()-window
+    * formulation would shuffle+sort every token in the corpus for a
+    * row-local computation). */
+  def shingleArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))
+          .otherwise(array().cast("array<string>"))).as("shingles"))
+
+  /** distinct word-trigram shingles per doc (doc_id, shingle) — the shared
+    * building block of the Jaccard and MinHash paths. */
+  def trigramShingles(docs: DataFrame): DataFrame =
+    shingleArrays(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** n-gram Jaccard near-dup pairs: shingle-bucketed self-join (the join
     * explodes only where shingles collide — candidate-bounded, not O(n²)),
-    * exact Jaccard ≥ threshold. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = trigramShingles(docs).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    * exact Jaccard ≥ threshold. Set sizes come from the shingle ARRAY
+    * row-locally (no extra aggregation shuffle). */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxShingleDf: Long = DefaultMaxBucketDf): DataFrame = {
+    val arrs = shingleArrays(docs).persist()
+    val sizes = arrs.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val sh = capHotKeys(
+      arrs.select(col("doc_id"), explode(col("shingles")).as("shingle")),
+      maxShingleDf, "shingle")
     val a = sh.toDF("a", "shingle")
     val b = sh.toDF("b", "shingle")
     val inter = a.join(b, "shingle").filter(col("a") < col("b"))
@@ -143,50 +182,80 @@ object TrainingOps {
   /** MinHash-LSH candidate pairs: band signatures (rows-per-band hashes
     * concatenated) bucket the corpus; docs sharing any band bucket are
     * candidates. k=6, bands of 2 → 3 bands. */
-  def minhashLshPairs(docs: DataFrame, k: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, k: Int = 6, rowsPerBand: Int = 2,
+                      maxBandDf: Long = DefaultMaxBucketDf): DataFrame = {
     val sig = minhashSignatures(docs, k)
     val bands = (0 until k / rowsPerBand).map { bnd =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
       sig.select(col("doc_id"), lit(bnd).as("band"), concat(cols: _*).as("sig"))
     }.reduce(_ unionByName _)
-    val l = bands.toDF("a", "band", "sig")
-    val r = bands.toDF("b", "band", "sig")
+    val capped = capHotKeys(bands, maxBandDf, "band", "sig")
+    val l = capped.toDF("a", "band", "sig")
+    val r = capped.toDF("b", "band", "sig")
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
       .orderBy("a", "b")
   }
 
-  /** SimHash near-dup fingerprints (xxhash64-based custom expression;
-    * fixture-tested, no SQL oracle). */
-  def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), gfn.simhash(wsTokens(col("text"))).as("simhash"))
-      .orderBy("doc_id")
+  /** SimHash near-dup fingerprints. `portable=true` (default) hashes tokens
+    * with md5-lower-64 so the DuckDB oracle recomputes the fingerprint
+    * bit-exactly; `portable=false` uses the faster xxhash64 kernel
+    * (production default at scale — same plan shape, fixture-tested). */
+  def simhashes(docs: DataFrame, portable: Boolean = true): DataFrame = {
+    val fp = if (portable) gfn.simhash_md5(wsTokens(col("text")))
+             else gfn.simhash(wsTokens(col("text")))
+    docs.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`, bucketed
-    * by 16-bit quarters (a pair within Hamming ≤3 must agree exactly on at
-    * least one of the four quarters — pigeonhole), so the self-join is
-    * bucket-bounded. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * by `maxHamming + 1` bit-blocks: two fingerprints differing in ≤ h bits
+    * must agree EXACTLY on at least one of h+1 disjoint blocks (pigeonhole
+    * — h differing bits cannot touch all h+1 blocks), so candidate
+    * generation is complete for the promised radius and the self-join is
+    * block-bucket-bounded instead of O(n²). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   portable: Boolean = true,
+                   maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
     val sims = docs.select(col("doc_id"),
-      gfn.simhash(wsTokens(col("text"))).as("sh"))
-    val quartered = (0 until 4).map { q =>
+      (if (portable) gfn.simhash_md5(wsTokens(col("text")))
+       else gfn.simhash(wsTokens(col("text")))).as("sh"))
+    simhashPairsFromFps(sims, maxHamming, maxBucketDf)
+  }
+
+  /** [[simhashPairs]] over precomputed fingerprints (doc_id, sh LONG) —
+    * the block-bucketed candidate join, unit-testable at the bit level. */
+  def simhashPairsFromFps(sims: DataFrame, maxHamming: Int,
+                          maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val nBlocks = maxHamming + 1
+    val starts = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val blocked = (0 until nBlocks).map { q =>
+      val lo = starts(q)
+      val width = starts(q + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
       sims.select(col("doc_id"), col("sh"), lit(q).as("q"),
-        shiftright(col("sh"), q * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+        shiftright(col("sh"), lo).bitwiseAND(lit(mask)).as("bucket"))
     }.reduce(_ unionByName _)
-    val l = quartered.toDF("a", "sha", "q", "bucket")
-    val r = quartered.toDF("b", "shb", "q", "bucket")
+    val capped = capHotKeys(blocked, maxBucketDf, "q", "bucket")
+    val l = capped.toDF("a", "sha", "q", "bucket")
+    val r = capped.toDF("b", "shb", "q", "bucket")
     l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }
 
-  /** winnowing fingerprint overlap pairs (rows-only; fixture-tested). */
-  def winnowPairs(docs: DataFrame, minShared: Int): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      explode(gfn.winnow_fingerprints(col("text"), lit(8), lit(4))).as("fp"))
+  /** winnowing fingerprint overlap pairs. `portable=true` uses md5 k-gram
+    * hashes (DuckDB-oracle-matched); false uses the rolling-hash kernel. */
+  def winnowPairs(docs: DataFrame, minShared: Int,
+                  portable: Boolean = true,
+                  maxFpDf: Long = DefaultMaxBucketDf): DataFrame = {
+    val fps = if (portable) gfn.winnow_md5(col("text"), lit(8), lit(4))
+              else gfn.winnow_fingerprints(col("text"), lit(8), lit(4))
+    val fp = capHotKeys(
+      docs.select(col("doc_id"), explode(fps).as("fp")), maxFpDf, "fp")
     val l = fp.toDF("a", "fp")
     val r = fp.toDF("b", "fp")
     l.join(r, "fp").filter(col("a") < col("b"))
@@ -224,37 +293,59 @@ object TrainingOps {
       .orderBy("query_id", "rnk")
   }
 
-  /** IVF-style ANN: coarse cells = per-label centroids (the table ships a
-    * label column; production would k-means); a query probes only the
-    * `nprobe` nearest cells. Returns the same shape as the brute-force
-    * baseline; recall is fixture-tested against it. */
+  /** IVF-style ANN with REAL k-means coarse cells: per-label means seed
+    * the centroids (deterministic, better than random at this corpus),
+    * then `lloydIters` Lloyd iterations run as DataFrame aggregations —
+    * assignment via a broadcast-centroid crossJoin + map-side-combinable
+    * `max_by` (no window over the full corpus), update via
+    * posexplode→avg→reassemble. A query probes only the `nprobe` nearest
+    * cells. Returns the brute-force shape; recall is fixture-tested
+    * against the exact baseline (OpsSpec). */
   def ivfCosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-                    nprobe: Int = 3): DataFrame = {
-    val spark = emb.sparkSession
+                    nprobe: Int = 3, lloydIters: Int = 3): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v")).persist()
 
-    // centroids: element-wise mean per label (posexplode → avg → re-assemble)
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("m"))
-      .groupBy("label")
-      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
-        s => s.getField("m")).as("cv"))
+    def meanByCell(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("cv"))
+
+    // seed: element-wise mean per label
+    var cent = meanByCell(e.select(col("label").as("cell"), col("v")))
+
+    // Lloyd: assign every vector to its max-cosine centroid, re-average.
+    // One crossJoin row per (vector, centroid) — centroids are tiny and
+    // broadcast; the argmax is an aggregation, not a global window.
+    def assign(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(c))
+        .withColumn("sim", dot(col("v"), col("cv")) /
+          (norm(col("v")) * norm(col("cv"))))
+        .groupBy("vec_id")
+        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+        .join(e.select("vec_id", "v"), Seq("vec_id"))
+
+    for (_ <- 1 to lloydIters) cent = meanByCell(assign(cent))
+    val cells = cent.persist()
+    val assigned = assign(cells).select("vec_id", "cell").persist()
 
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
-    // pick nprobe closest cells per query (tiny: #labels × #queries)
-    val wCell = Window.partitionBy("query_id").orderBy(desc("csim"), asc("label"))
-    val cells = q.crossJoin(broadcast(cent))
+    // pick nprobe closest cells per query (tiny: #cells × #queries)
+    val wCell = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
+    val probed = q.crossJoin(broadcast(cells))
       .withColumn("csim", dot(col("qv"), col("cv")) /
         (norm(col("qv")) * norm(col("cv"))))
       .withColumn("r", row_number().over(wCell))
       .filter(col("r") <= nprobe)
-      .select("query_id", "qv", "label")
+      .select("query_id", "qv", "cell")
 
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    e.join(broadcast(cells), Seq("label"))
+    e.join(assigned, Seq("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(dot(col("v"), col("qv")) /
         (norm(col("v")) * norm(col("qv"))), 4))

@@ -171,7 +171,11 @@ object ReferenceOracle {
     sortedUrls.foreach { u =>
       val id = urlIds(u)
       val page = byUrl.get(u)
-      titles(id) = page.flatMap(p => Html.parseBytes(p.html).title).getOrElse("")
+      // lastChild of the first <title>; missing page OR missing title →
+      // "Unauthorized" (HTMLParser.kt:186-195: any fetch/parse failure,
+      // including elementAt(0) on an empty node list, hits the catch)
+      titles(id) = page.flatMap(p => Html.parseBytes(p.html).title)
+        .getOrElse("Unauthorized")
       val words = page.map(p => TextPipeline.tokenize(p.text)).getOrElse(Vector.empty)
       val ids = words.map { w =>
         wordIds.getOrElseUpdate(w, wordIds.size.toLong)

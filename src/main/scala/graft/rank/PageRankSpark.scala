@@ -27,13 +27,23 @@ object PageRankSpark {
   def run(links: DataFrame, vertices: DataFrame, iters: Int,
           checkpointEvery: Int = 5): DataFrame = {
     val outDeg = links.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    // static across iterations: weight of each edge = 1/outdeg(src)
+    // static across iterations: weight of each edge = 1/outdeg(src).
+    // Hash-partitioned on src BEFORE the persist so every iteration's
+    // ranks⋈edges join reuses the cached partitioning and shuffles ONLY
+    // the (small, changing) ranks side — the (much larger) edge table is
+    // never re-exchanged across the 40 iterations (PLANS.md §8).
     val weighted = links.join(outDeg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("out_deg")).as("w"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     weighted.count()
 
-    val verts = vertices.select(col("url_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    // same trick for the vertex table: partitioned on url_id, the
+    // contribs⋈verts left join re-exchanges only the contribs side (which
+    // arrives already hash-partitioned on url_id from its groupBy)
+    val verts = vertices.select(col("url_id"))
+      .repartition(col("url_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = verts.withColumn("rank", lit(1.0))
     var i = 0

@@ -31,7 +31,11 @@ import graft.text.TextPipeline
   */
 object Searcher {
 
-  final case class Prepared(index: IndexTables, ranks: DataFrame, maxPR: Double)
+  final case class Prepared(index: IndexTables, ranks: DataFrame, maxPR: Double) {
+    /** Release the cached rank table — a long-lived serving session should
+      * close() retired Prepared instances or cached plans accumulate. */
+    def close(): Unit = { ranks.unpersist(); () }
+  }
 
   def prepare(index: IndexTables, ranks: DataFrame): Prepared = {
     val cached = ranks.cache()
@@ -116,7 +120,7 @@ object Searcher {
 
     val stats = norm.agg(sum("score"), count(lit(1))).head()
     val nResults = stats.getLong(1)
-    if (nResults == 0) return emptyResult(spark)
+    if (nResults == 0) { norm.unpersist(); return emptyResult(spark) }
     val meanScore = stats.getDouble(0) / (nResults * 3)
 
     // -- final scoring (WebController.kt:60-83) ------------------------------
@@ -138,9 +142,17 @@ object Searcher {
       .join(idx.urlDict.select("url_id", "url"), Seq("url_id"))
       .orderBy(desc("total"), asc("url_id"))
       .limit(topK)
-    top.withColumn("rank",
+    val result = top.withColumn("rank",
         row_number().over(Window.orderBy(desc("total"), asc("url_id"))))
       .select("rank", "url_id", "url", "total", "cos", "pr", "title_score", "title")
+
+    // the SERP is ≤ topK rows — materialize it as a LocalRelation so the
+    // per-query `norm` cache can be released immediately (a serving session
+    // firing many queries must not accumulate cached plans), and downstream
+    // joins (serpDetails) get a broadcastable local table for free
+    val rows = result.collect()
+    norm.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** J7/T4/F12: the SERP metadata block — one multi-way left join of the

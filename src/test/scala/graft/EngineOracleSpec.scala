@@ -192,6 +192,25 @@ class EngineOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("titles: lastChild semantics + Unauthorized fallback, engine == oracle, " +
+       "all three constructs present in the corpus") {
+    val urlById = oracleIndex.urlsById
+    val engTitles = engineIndex.urlInfo
+      .select("url_id", "title").as[(Long, String)].collect().toMap
+    oracleIndex.titles.foreach { case (id, t) =>
+      assert(engTitles(id) == t, s"title mismatch for ${urlById(id.toInt)}")
+    }
+    // the corpus generator must exercise every construct (TestCorpus head)
+    val byUrl = corpus.map(p => p.url -> p).toMap
+    val parsed = oracleCrawl.seen.toSeq.flatMap(u => byUrl.get(u))
+      .map(p => graft.html.Html.parseBytes(p.html).title)
+    assert(parsed.contains(None), "need a page with NO <title> (→ Unauthorized)")
+    assert(parsed.contains(Some("")), "need an empty <title></title> (→ \"\")")
+    // nested-tag titles: lastChild is the <b> subtree "page <i>"
+    assert(parsed.flatten.exists(t => t.startsWith("page ")),
+      "need a nested-tag title whose lastChild wins")
+  }
+
   test("url_info: warc_ts plays Last-Modified; copyright/default fallbacks; size") {
     val info = engineIndex.urlInfo
       .join(engineIndex.urlDict, Seq("url_id"))
@@ -206,7 +225,9 @@ class EngineOracleSpec extends AnyFunSuite {
           if (p.warc_ts != null)
             assert(row.getTimestamp(2).getTime == p.warc_ts.getTime, s"ts for $u")
         case None =>
-          assert(row.getString(1) == "" && row.getInt(3) == 0)
+          // un-fetchable url: the reference's catch-all title fallback
+          // (HTMLParser.kt:193) and zero size
+          assert(row.getString(1) == "Unauthorized" && row.getInt(3) == 0)
       }
     }
   }

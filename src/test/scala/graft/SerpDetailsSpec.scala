@@ -63,6 +63,20 @@ class SerpDetailsSpec extends AnyFunSuite {
       .matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"))
   }
 
+  test("cache hygiene: repeated search() calls do not grow the persisted-plan set") {
+    val ranks = PageRankSpark.run(eIdx.links, eIdx.urlDict.select("url_id"), 5)
+    val prepared = Searcher.prepare(eIdx, ranks)
+    Searcher.search(spark, prepared, "research systems") // warm
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Searcher.search(spark, prepared, "research systems").count()
+      Searcher.search(spark, prepared, "the of and").count() // 0-result path
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "per-query caches must be released after the SERP materializes")
+    prepared.close()
+  }
+
   test("S6: quoted-CSV fixture encoding matches the reference's opencsv form") {
     val df = Seq((Seq(3L, 17L, 42L), Seq("a", "b"))).toDF("ids", "ws")
     val got = df.select(Indexer.csvQuoted(col("ids")).as("c1"),

@@ -29,6 +29,22 @@ class HtmlSpec extends AnyFunSuite {
     assert(parsed.title.contains("CSE & Research"))
   }
 
+  test("title is the LAST CHILD of the first <title> (HTMLParser.kt:191)") {
+    // plain text after a nested tag → that trailing text node wins
+    assert(Html.parse("<title>Hello <b>World</b></title>").title.contains("World"))
+    assert(Html.parse("<title>A <b>B</b> tail</title>").title.contains(" tail"))
+    // nested-in-nested stays one top-level child
+    assert(Html.parse("<title>A <b>B <i>C</i> D</b></title>").title.contains("B C D"))
+    // entity inside the last child decodes
+    assert(Html.parse("<title>x <b>R&amp;D</b></title>").title.contains("R&D"))
+    // empty title: lastChild null → "" (reference elvis), NOT Unauthorized
+    assert(Html.parse("<title></title>").title.contains(""))
+    // second <title> ignored
+    assert(Html.parse("<title>first</title><title>second</title>").title.contains("first"))
+    // unterminated title flushes at EOF
+    assert(Html.parse("<title>dangling").title.contains("dangling"))
+  }
+
   test("hrefs: <a href> values in document order, unresolved") {
     assert(parsed.hrefs == Vector("https://host0.test/p1.html", "p2.html#frag"))
   }
