@@ -86,19 +86,29 @@ object Plans {
 
     // PageRank §8: the weighted edge table is repartition(src)+persisted —
     // one iteration's contribution join must show NO Exchange above the
-    // InMemoryTableScan on the edge side (only the ranks side shuffles)
-    section("pagerank iteration: cached src-partitioning reused on the edge side") {
-      import org.apache.spark.storage.StorageLevel
-      val weighted = idx.links
-        .join(idx.links.groupBy("src").agg(count(lit(1)).as("out_deg")), Seq("src"))
-        .select(col("src"), col("dst"), (lit(1.0) / col("out_deg")).as("w"))
-        .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      weighted.count()
-      val ranks = idx.urlDict.select(col("url_id"), lit(1.0).as("rank"))
-      weighted.join(ranks.withColumnRenamed("url_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("url_id"))
-        .agg(sum(col("w") * col("rank")).as("incoming"))
+    // InMemoryTableScan on the edge side (only the ranks side shuffles).
+    // Demonstrated at a synthetic 2M-edge scale with auto-broadcast off
+    // (at real scale the ranks table is far beyond any broadcast threshold).
+    {
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      section("pagerank iteration: cached src-partitioning reused on the edge side") {
+        import org.apache.spark.storage.StorageLevel
+        val edges = spark.range(2000000).select(
+          (col("id") % 100000).as("src"), ((col("id") * 31) % 100000).as("dst"))
+        val weighted = edges
+          .join(edges.groupBy("src").agg(count(lit(1)).as("out_deg")), Seq("src"))
+          .select(col("src"), col("dst"), (lit(1.0) / col("out_deg")).as("w"))
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        weighted.count()
+        val ranks = spark.range(100000)
+          .select(col("id").as("src"), lit(1.0).as("rank"))
+        weighted.join(ranks, Seq("src"))
+          .groupBy(col("dst").as("url_id"))
+          .agg(sum(col("w") * col("rank")).as("incoming"))
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
     spark.stop()
   }

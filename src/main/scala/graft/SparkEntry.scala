@@ -232,6 +232,11 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       T.ivfCosineTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L), k = 10)),
 
+    // embedding-cosine near-dup pairs: exact all-pairs baseline (the LSH
+    // scale path is cosineDupPairsLsh, recall-fixture-tested in OpsSpec)
+    "q_cosine_pairs" -> ((s, d) =>
+      T.cosineDupPairsExact(t(s, d, "embeddings"), threshold = 0.4)),
+
     // ---------------- crawl / rank / search (fixture-tested; no SQL form) ---
     "q_crawl_seen" -> ((s, _) => {
       val (_, crawl) = crawlDemo(s)
@@ -532,6 +537,21 @@ object SparkEntry {
         |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
         |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
         |GROUP BY 1,2 HAVING COUNT(*) >= 60
+        |ORDER BY a, b""".stripMargin,
+
+    "q_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |flat AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         unnest(x.embedding) AS xa, unnest(y.embedding) AS yb
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id),
+        |dots AS (
+        |  SELECT a, b, SUM(CAST(xa AS DOUBLE)*CAST(yb AS DOUBLE)) AS dot,
+        |         SUM(CAST(xa AS DOUBLE)*CAST(xa AS DOUBLE)) AS na,
+        |         SUM(CAST(yb AS DOUBLE)*CAST(yb AS DOUBLE)) AS nb
+        |  FROM flat GROUP BY 1,2)
+        |SELECT a, b, ROUND(dot/(SQRT(na)*SQRT(nb)),4) AS cos
+        |FROM dots WHERE ROUND(dot/(SQRT(na)*SQRT(nb)),4) >= 0.4
         |ORDER BY a, b""".stripMargin,
 
     "q_cosine_topk" ->

@@ -79,7 +79,16 @@ object BenchCorpus {
       sb.append("<a href=\"").append(href).append("\">l</a>")
     if (i + 1 < n) a(urlOf(host, i + 1))
     if (i == 0 && host == 0) { var h = 0; while (h < shape.hosts) { a(urlOf(h, 0)); h += 1 } }
-    if (i == 0) { var k = 1; k = 1 + next(4); var j = 0; while (j < k && j + 1 < n) { a(urlOf(host, 1 + next(n - 1))); j += 1 } }
+    if (i == 0) {
+      // host roots are HUB pages: spread links across the whole host
+      // (every ~n/48th page) so BFS reaches the bulk of the corpus in few,
+      // LARGE rounds — the round-size-to-overhead ratio of a real 10^10
+      // frontier (whose rounds are 10^7+ urls), not a deep trickle where
+      // parallelism-independent per-round latency dominates the measure
+      val stride = math.max(1, n / 48)
+      var j = 1
+      while (j < n) { a(urlOf(host, j)); j += stride }
+    }
     var l = 0
     val nl = shape.linksPerPage / 2 + next(shape.linksPerPage)
     while (l < nl) {

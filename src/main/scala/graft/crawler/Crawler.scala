@@ -133,6 +133,7 @@ object Crawler {
     var seenDeltaPaths = Vector.empty[String]
 
     var seen: DataFrame = emptySeen(spark)
+    var seenDeltas = Vector.empty[DataFrame] // memory mode: checkpointed per-round deltas
     var frontier: DataFrame =
       cfg.seeds.toDF("url")
         .select(col("url"), gfn.url_host(col("url")).as("host"), lit(0).as("depth"))
@@ -184,12 +185,16 @@ object Crawler {
             lit(true)))
           .drop("prefixes")
       }
-      val selected = politenessSelect(candidates, cfg.hostBudget, cfg.saltBuckets)
-        .persist(StorageLevel.MEMORY_AND_DISK)
       // when nothing filters the frontier, its size is already known from
       // the previous round — saves one count job per round
       val noFilters = cfg.hostBudget == Int.MaxValue &&
         !cfg.respectRobots && cfg.maxDepth == Int.MaxValue
+      // persist pays a cache write; skip it when the selection is consumed
+      // only once (noFilters: frontier ≡ selected, already a cheap filter
+      // over the checkpointed delta)
+      val selected0 = politenessSelect(candidates, cfg.hostBudget, cfg.saltBuckets)
+      val selected = if (noFilters) selected0
+                     else selected0.persist(StorageLevel.MEMORY_AND_DISK)
       val selCount = if (noFilters && lastFrontierCount >= 0) lastFrontierCount
                      else selected.count()
 
@@ -216,11 +221,16 @@ object Crawler {
             pages.filter(col("bucket").isInCollection(buckets))
           } else pages
         val selForJoin = if (selCount <= 400000L) broadcast(selKeyed) else selKeyed
-        val fetched = pagesSide.join(selForJoin, joinKeys, "inner")
+        // the parsed-links intermediate is cached ONLY when the metrics
+        // pass re-reads it; in throughput mode it streams straight into the
+        // per-round dedup (caching it would write every link array to
+        // memory for a single consumer)
+        val fetched0 = pagesSide.join(selForJoin, joinKeys, "inner")
           .select(col("url"), col("depth"),
             gfn.extract_links(col("html"), col("url"), lit(cfg.filter), lit(true))
               .as("links"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val fetched = if (cfg.collectMetrics) fetched0.persist(StorageLevel.MEMORY_AND_DISK)
+                      else fetched0
         val (fetchCount, linksExtracted) = if (cfg.collectMetrics) {
           val a = fetched.agg(count(lit(1)),
             coalesce(sum(size(col("links"))), lit(0L))).head()
@@ -243,8 +253,13 @@ object Crawler {
           val bc = spark.sparkContext.broadcast(driverBloom)
           val probe = org.apache.spark.sql.graft.Bridge.column(BloomProbeExpr(
             org.apache.spark.sql.graft.Bridge.expression(xxhash64(col("url"))), bc))
+          // the seen side must NEVER be broadcast: it grows every round, and
+          // a broadcast rebuild is a serial driver collect per round (and at
+          // 10^10-url scale an OOM). shuffle_hash keeps the anti-join fully
+          // distributed; the bloom pre-filter has already shrunk the probe
+          // side to likely-dups only.
           val maybeSeen = roundLinks.filter(probe)
-            .join(seen.select("url"), Seq("url"), "left_anti")
+            .join(seen.select("url").hint("shuffle_hash"), Seq("url"), "left_anti")
           val definitelyNew = roundLinks.filter(!probe)
           definitelyNew.unionByName(maybeSeen)
             .select(col("url"), xxhash64(col("url")).as("url_hash"), col("depth"))
@@ -262,7 +277,12 @@ object Crawler {
               .sortBy(_.partition).toVector
             (back, lin)
           case None =>
-            val cp = newSeen.localCheckpoint(true)
+            // LAZY checkpoint: the statsRow aggregation below materializes
+            // it, so delta-materialize + count + seed-hits + bloom-shard is
+            // ONE Spark job per round, not two — per-round driver latency
+            // is parallelism-independent and was the main scaling-efficiency
+            // tax at high core counts (7 rounds × ~0.3 s)
+            val cp = newSeen.localCheckpoint(false)
             (cp, Vector.empty[PartitionLineage])
         }
         // one pass over the materialized delta: row count, seed hits (for
@@ -312,12 +332,16 @@ object Crawler {
           else frontierNext.count()
         lastFrontierCount = frontierCount
 
-        // keep the seen plan FLAT: one multi-path parquet scan in snapshot
-        // mode (not a per-round union tower), a truncated checkpoint in
-        // memory mode — the anti-join re-plans this every round
+        // keep the seen plan FLAT and CHEAP: one multi-path parquet scan in
+        // snapshot mode; in memory mode a lazy union of the per-round
+        // checkpointed deltas — each delta was already materialized once,
+        // so re-checkpointing the whole seen set every round would copy
+        // O(total) rows per round (O(R·N) over the crawl) for nothing
         seen = log match {
           case Some(_) => spark.read.parquet(seenDeltaPaths: _*)
-          case None => seen.unionByName(newSeenStable).localCheckpoint(true)
+          case None =>
+            seenDeltas = seenDeltas :+ newSeenStable
+            seenDeltas.reduce(_ unionByName _)
         }
 
         val m = RoundMetrics(round, selCount, fetchCount, linksExtracted,

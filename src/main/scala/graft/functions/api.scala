@@ -39,6 +39,7 @@ object gfn {
   def winnow_md5(text: Column, k: Column, w: Column): Column =
     column(WinnowMd5Expr(expression(text), expression(k), expression(w)))
   def round6_exact(x: Column): Column = column(Round6Expr(expression(x)))
+  def srp_sketch(vec: Column): Column = column(SrpSketchExpr(expression(vec)))
 
   /** Bloom aggregate over a LONG hash column; shape from expected items/fpp. */
   def bloom_agg(hash: Column, expectedItems: Long, fpp: Double): Column = {

@@ -68,6 +68,36 @@ object TextExprImpl {
     out
   }
 
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit sign-random-projection sketch over ARRAY<DOUBLE> (see
+    * SrpSketchExpr). Hyperplanes are ±1-component, derived deterministically
+    * per (bit, dim) — identical across runs and cluster sizes. */
+  def srpSketch(vec: ArrayData): Long = {
+    val n = vec.numElements()
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        if (!vec.isNullAt(d)) {
+          val sign = if ((splitmix(k.toLong * 1000003L + d) & 1L) == 1L) 1.0 else -1.0
+          acc += sign * vec.getDouble(d)
+        }
+        d += 1
+      }
+      if (acc > 0.0) out |= 1L << k
+      k += 1
+    }
+    out
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * rolling 64-bit hashes of every k-gram (by char), then the minimum hash
     * of each window of w consecutive k-grams, deduplicated, sorted. Robust
@@ -128,6 +158,23 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     TextExprImpl.simhash(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `srp_sketch(vec ARRAY<DOUBLE>) → LONG` — 64-bit sign-random-projection
+  * sketch (Charikar hyperplane LSH): bit k = sign(v · h_k) where
+  * hyperplane h_k's components are deterministic ±1 from a splitmix64 of
+  * (k, dim). Angular distance maps to Hamming distance
+  * (P[bit differs] = θ/π), so near-duplicate embeddings land within a
+  * small Hamming radius and the simhash block-join machinery buckets them. */
+case class SrpSketchExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_sketch"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprImpl.srpSketch(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.srpSketch($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -264,6 +264,43 @@ object TrainingOps {
       .orderBy("a", "b")
   }
 
+  /** [[simhashPairsFromFps]] upgraded for web-scale corpora: bucket by
+    * PAIRS of blocks. With b = maxHamming + 2 disjoint blocks, ≤ h
+    * differing bits leave at least TWO blocks identical (pigeonhole), so
+    * every qualifying pair shares at least one (block_i, block_j) key.
+    * C(b,2) keys of ~2·(64/b) bits each: for h=6 that is 28 keys of ~16
+    * bits vs 7 keys of ~9 bits — ~500× more buckets, pushing the
+    * hot-bucket ceiling from ~10⁹ to ~10¹¹ docs before the df cap starts
+    * trading recall, at 4× the candidate-row cost. Same exact output. */
+  def simhashPairsFromFpsTwoStage(sims: DataFrame, maxHamming: Int,
+                                  maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 62, s"maxHamming=$maxHamming")
+    val nBlocks = maxHamming + 2
+    val starts = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    def block(q: Int): Column = {
+      val lo = starts(q)
+      val width = starts(q + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("sh"), lo).bitwiseAND(lit(mask))
+    }
+    val keyed = (for { i <- 0 until nBlocks; j <- i + 1 until nBlocks } yield (i, j))
+      .map { case (i, j) =>
+        sims.select(col("doc_id"), col("sh"),
+          lit(i * nBlocks + j).as("q"),
+          // both block values packed into one 64-bit key (widths ≤ 32)
+          (shiftleft(block(i), 32).bitwiseOR(block(j))).as("bucket"))
+      }.reduce(_ unionByName _)
+    val capped = capHotKeys(keyed, maxBucketDf, "q", "bucket")
+    val l = capped.toDF("a", "sha", "q", "bucket")
+    val r = capped.toDF("b", "shb", "q", "bucket")
+    l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   // ------------------------------------------------------------------
   // similarity search over embeddings
   // ------------------------------------------------------------------
@@ -272,6 +309,48 @@ object TrainingOps {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** exact embedding-cosine near-dup pairs (cos ≥ threshold): brute-force
+    * all-pairs — the O(n²) exactness anchor, DuckDB-oracle-matched. Both
+    * sides filter on the ROUNDED cosine so boundary values agree. For
+    * corpora past ~10⁶ vectors use [[cosineDupPairsLsh]]. */
+  def cosineDupPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.toDF("a", "va")
+    val b = e.toDF("b", "vb")
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))), 4))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+      .orderBy("a", "b")
+  }
+
+  /** approximate embedding-cosine near-dup pairs at scale: 64-bit
+    * sign-random-projection sketches (gfn.srp_sketch — angular distance θ
+    * maps to expected Hamming 64·θ/π), candidates from the pigeonhole
+    * block self-join of the sketches, exact cosine verification on the
+    * candidates only. Recall is probabilistic (fixture-tested vs the exact
+    * baseline on a clustered corpus); candidates are bucket-bounded, never
+    * O(n²). For cos ≥ 0.9, θ ≤ 25.8° ⇒ E[hamming] ≈ 9.2; default radius
+    * 16 gives comfortable headroom. */
+  def cosineDupPairsLsh(emb: DataFrame, threshold: Double,
+                        maxHamming: Int = 16,
+                        maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v")).persist()
+    val fps = e.select(col("vec_id").as("doc_id"), gfn.srp_sketch(col("v")).as("sh"))
+    val cands = simhashPairsFromFps(fps, maxHamming, maxBucketDf)
+    cands
+      .join(e.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))), 4))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+      .orderBy("a", "b")
+  }
 
   /** brute-force cosine top-k: every query vector scored against the whole
     * table (the exact baseline an ANN variant must approximate). The query

@@ -152,6 +152,47 @@ class OpsSpec extends AnyFunSuite {
     assert(r7 >= r3, "recall must not decrease with nprobe")
   }
 
+  test("two-stage simhash banding (block pairs) produces the identical pair set") {
+    val rnd = new scala.util.Random(13)
+    val centers = Seq(0L, -1L, 0x0f0f0f0f0f0f0f0fL)
+    val cloud = (0 until 50).map { i =>
+      var v = centers(i % centers.size)
+      (0 until rnd.nextInt(9)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+      (i.toLong, v)
+    }
+    val fdf = cloud.toDF("doc_id", "sh")
+    val single = T.simhashPairsFromFps(fdf, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val twoStage = T.simhashPairsFromFpsTwoStage(fdf, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(twoStage == single)
+    assert(single.nonEmpty)
+  }
+
+  test("embedding-cosine dup pairs: SRP-LSH recovers the exact pairs on a clustered corpus") {
+    // deterministic clustered vectors: 8 centers × 5 members with small
+    // perturbation → within-cluster cos ≈ 0.99, across ≈ orthogonal
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val centers = Array.fill(8, dim)(rnd.nextGaussian())
+    val rows = for { c <- 0 until 8; m <- 0 until 5 } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * 5 + m).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = T.cosineDupPairsExact(emb, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "clustered corpus must contain near-dup pairs")
+    val lsh = T.cosineDupPairsLsh(emb, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // precision 1.0 by construction (candidates are exact-verified);
+    // recall bounded below on clustered data
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    info(s"SRP-LSH recall at maxHamming=16: $recall (${lsh.size}/${exact.size})")
+    assert(recall >= 0.9, s"SRP-LSH recall $recall below 0.9")
+  }
+
   test("hot-bucket cap: no-op above max df; bounds candidates on a hot-key corpus") {
     // every doc shares ONE boilerplate trigram; everything else is unique.
     // Uncapped, that single hot shingle yields all n·(n-1)/2 candidate
