@@ -171,12 +171,16 @@ object TrainingOps {
 
   /** MinHash signatures: k md5-salted lexicographic-min hashes over the
     * shingle set (md5 is portable to the DuckDB oracle; at production
-    * scale swap for xxhash64 — same plan shape). */
+    * scale swap for xxhash64 — same plan shape). Computed ROW-LOCALLY as
+    * `array_min(transform(shingles, …))` — zero shuffle; identical values
+    * to the oracle's GROUP-BY-min over exploded shingles. */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val sh = trigramShingles(docs)
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(col("shingle"), lit(s"#salt$i")))).as(s"mh$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val mins = (0 until k).map(i =>
+      array_min(transform(col("shingles"),
+        s => md5(concat(s, lit(s"#salt$i"))))).as(s"mh$i"))
+    shingleArrays(docs)
+      .filter(size(col("shingles")) > 0) // docs with no shingle have no sig
+      .select(col("doc_id") +: mins: _*)
   }
 
   /** MinHash-LSH candidate pairs: band signatures (rows-per-band hashes
@@ -185,10 +189,13 @@ object TrainingOps {
   def minhashLshPairs(docs: DataFrame, k: Int = 6, rowsPerBand: Int = 2,
                       maxBandDf: Long = DefaultMaxBucketDf): DataFrame = {
     val sig = minhashSignatures(docs, k)
-    val bands = (0 until k / rowsPerBand).map { bnd =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(bnd).as("band"), concat(cols: _*).as("sig"))
-    }.reduce(_ unionByName _)
+    // one pass + posexplode (a per-band union would recompute the k
+    // signature hashes once PER BAND)
+    val bandCols = (0 until k / rowsPerBand).map { bnd =>
+      concat((0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}")): _*)
+    }
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
     val capped = capHotKeys(bands, maxBandDf, "band", "sig")
     val l = capped.toDF("a", "band", "sig")
     val r = capped.toDF("b", "band", "sig")
@@ -229,13 +236,16 @@ object TrainingOps {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
     val nBlocks = maxHamming + 1
     val starts = (0 to nBlocks).map(i => i * 64 / nBlocks)
-    val blocked = (0 until nBlocks).map { q =>
+    // one pass + posexplode (a per-block union would recompute the
+    // fingerprint once PER BLOCK)
+    val blockCols = (0 until nBlocks).map { q =>
       val lo = starts(q)
       val width = starts(q + 1) - lo
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      sims.select(col("doc_id"), col("sh"), lit(q).as("q"),
-        shiftright(col("sh"), lo).bitwiseAND(lit(mask)).as("bucket"))
-    }.reduce(_ unionByName _)
+      shiftright(col("sh"), lo).bitwiseAND(lit(mask))
+    }
+    val blocked = sims.select(col("doc_id"), col("sh"),
+      posexplode(array(blockCols: _*)).as(Seq("q", "bucket")))
     val capped = capHotKeys(blocked, maxBucketDf, "q", "bucket")
     val l = capped.toDF("a", "sha", "q", "bucket")
     val r = capped.toDF("b", "shb", "q", "bucket")
@@ -283,13 +293,12 @@ object TrainingOps {
       val mask = if (width >= 64) -1L else (1L << width) - 1L
       shiftright(col("sh"), lo).bitwiseAND(lit(mask))
     }
-    val keyed = (for { i <- 0 until nBlocks; j <- i + 1 until nBlocks } yield (i, j))
-      .map { case (i, j) =>
-        sims.select(col("doc_id"), col("sh"),
-          lit(i * nBlocks + j).as("q"),
-          // both block values packed into one 64-bit key (widths ≤ 32)
-          (shiftleft(block(i), 32).bitwiseOR(block(j))).as("bucket"))
-      }.reduce(_ unionByName _)
+    // both block values packed into one 64-bit key (widths ≤ 32);
+    // single pass + posexplode over all C(b,2) block-pair keys
+    val pairCols = (for { i <- 0 until nBlocks; j <- i + 1 until nBlocks }
+      yield shiftleft(block(i), 32).bitwiseOR(block(j)))
+    val keyed = sims.select(col("doc_id"), col("sh"),
+      posexplode(array(pairCols: _*)).as(Seq("q", "bucket")))
     val capped = capHotKeys(keyed, maxBucketDf, "q", "bucket")
     val l = capped.toDF("a", "sha", "q", "bucket")
     val r = capped.toDF("b", "shb", "q", "bucket")
