@@ -209,18 +209,34 @@ object Crawler {
               pmod(xxhash64(col("url")), lit(cfg.pagesBuckets)).cast("int"))
           else selected
         val joinKeys = if (cfg.pagesBuckets > 0) Seq("bucket", "url") else Seq("url")
+        // TINY rounds (seeds, stragglers): collect the whole frontier once —
+        // the bucket-IN set AND the broadcast both derive from the local
+        // rows, so the round pays ONE collect job instead of a distinct-
+        // buckets job plus a broadcast-build job (per-round serial latency
+        // is the scaling-efficiency tax; see PLANS.md §9)
+        val selLocal: Option[Array[org.apache.spark.sql.Row]] =
+          if (selCount <= 4096L) Some(selKeyed.collect()) else None
         // manual partition pruning: Spark's DPP heuristic won't fire for an
         // unfiltered frontier side, so when the frontier is small enough
         // that it plausibly misses buckets, collect its ≤pagesBuckets
         // distinct bucket ids (tiny driver action) and push a static IN
         // filter — the scan then reads only the touched partitions
         val pagesSide =
-          if (cfg.pagesBuckets > 0 && selCount < 8L * cfg.pagesBuckets) {
+          if (cfg.pagesBuckets > 0 && selLocal.isDefined) {
+            val buckets = selLocal.get
+              .map(_.getAs[Int]("bucket")).distinct.toSeq
+            pages.filter(col("bucket").isInCollection(buckets))
+          } else if (cfg.pagesBuckets > 0 && selCount < 8L * cfg.pagesBuckets) {
             val buckets = selKeyed.select("bucket").distinct()
               .collect().map(_.getInt(0)).toSeq
             pages.filter(col("bucket").isInCollection(buckets))
           } else pages
-        val selForJoin = if (selCount <= 400000L) broadcast(selKeyed) else selKeyed
+        val selForJoin = selLocal match {
+          case Some(rows) => broadcast(spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), selKeyed.schema))
+          case None =>
+            if (selCount <= 400000L) broadcast(selKeyed) else selKeyed
+        }
         // the parsed-links intermediate is cached ONLY when the metrics
         // pass re-reads it; in throughput mode it streams straight into the
         // per-round dedup (caching it would write every link array to
