@@ -223,9 +223,17 @@ object TestCorpus {
       }
 
       // --- copyright paragraph (date-extraction fallback input) ---
+      // two variants, both reference-faithful: the date-LAST form is the
+      // only one whose extraction SUCCEEDS (anything after the date makes
+      // the reference's `Timestamp.valueOf(split("on")[1]+" 00:00:00")`
+      // throw → default); the suffixed form pins the failure path
       if (i % spec.copyrightEvery == 3) {
         b.raw("""<p class="copyright">""")
-        b.visible(s"Copyright updated on 2019-0${1 + rng.nextInt(9)}-1${rng.nextInt(9)} by webmaster")
+        val date = s"2019-0${1 + rng.nextInt(9)}-1${rng.nextInt(9)}"
+        if ((i / spec.copyrightEvery) % 2 == 0)
+          b.visible(s"Copyright updated on $date")
+        else
+          b.visible(s"Copyright updated on $date by webmaster")
         b.raw("</p>")
       }
       b.raw("</body></html>")

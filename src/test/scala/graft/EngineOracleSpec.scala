@@ -224,6 +224,30 @@ class EngineOracleSpec extends AnyFunSuite {
           assert(row.getInt(3) == p.html.length, s"size for $u")
           if (p.warc_ts != null)
             assert(row.getTimestamp(2).getTime == p.warc_ts.getTime, s"ts for $u")
+          else {
+            // no warc_ts → the copyright chain decides. Independent
+            // reimplementation of the REFERENCE semantics
+            // (HTMLParser.kt:207-221: whitespace-stripped copyright text,
+            // segment between the first two "on"s, must be a bare date;
+            // any failure → 1990-01-01 default; midnight UTC per SURVEY §2)
+            val datePat = "(\\d{4})-(\\d{1,2})-(\\d{1,2})".r
+            def dayMs(y: Int, m: Int, d: Int) =
+              java.time.LocalDate.of(y, m, d).toEpochDay * 86400000L
+            val expected = graft.html.Html.parseBytes(p.html).copyright
+              .map(_.replaceAll("\\s", ""))
+              .flatMap { c =>
+                val parts = c.split("on")
+                if (parts.length < 2) None
+                else parts(1) match {
+                  case datePat(y, m, d) =>
+                    try Some(dayMs(y.toInt, m.toInt, d.toInt))
+                    catch { case _: Exception => None }
+                  case _ => None
+                }
+              }
+              .getOrElse(dayMs(1990, 1, 1))
+            assert(row.getTimestamp(2).getTime == expected, s"fallback ts for $u")
+          }
         case None =>
           // un-fetchable url: the reference's catch-all title fallback
           // (HTMLParser.kt:193) and zero size

@@ -62,6 +62,30 @@ class HtmlSpec extends AnyFunSuite {
     val p = Html.parse("""<p class="copyright">Made <b>on</b> 2020-01-02</p>""")
     assert(p.copyright.contains("Made on 2020-01-02"))
   }
+
+  test("copyright date pins MIDNIGHT UTC semantics (documented divergence " +
+       "from the reference's JVM-local-zone Timestamp.valueOf)") {
+    // engine contract: the extracted date is timezone-INDEPENDENT —
+    // 2019-03-01 parses to 2019-03-01T00:00:00Z regardless of JVM zone
+    // (HTMLParser.kt:181,222 would shift by the serving JVM's offset;
+    // SURVEY §2 documents UTC as the deterministic spec)
+    val html = """<p class="copyright">Copyright updated on 2019-03-01</p>"""
+      .getBytes("UTF-8")
+    val micros = graft.functions.ExprImpl.extractCopyrightDateMicros(html)
+    val expected = java.time.LocalDate.of(2019, 3, 1).toEpochDay * 86400L * 1000000L
+    assert(micros == expected)
+    // failure steps of the chain → null (caller coalesces the 1990 default).
+    // NB trailing text after the date is a FAILURE — faithful to the
+    // reference, whose `split("on")[1] + " 00:00:00"` feeds
+    // "2019-03-01byCSE 00:00:00" to Timestamp.valueOf, which throws:
+    assert(graft.functions.ExprImpl.extractCopyrightDateMicros(
+      """<p class="copyright">Copyright updated on 2019-03-01 by CSE</p>"""
+        .getBytes("UTF-8")) == null)
+    assert(graft.functions.ExprImpl.extractCopyrightDateMicros(
+      """<p class="copyright">no marker word here</p>""".getBytes("UTF-8")) == null)
+    assert(graft.functions.ExprImpl.extractCopyrightDateMicros(
+      """<p>Copyright updated on 2019-03-01</p>""".getBytes("UTF-8")) == null)
+  }
 }
 
 class UrlCanonSpec extends AnyFunSuite {
