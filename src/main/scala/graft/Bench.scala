@@ -103,7 +103,8 @@ object Bench {
 
   /** child-process mode: N crawl reps in one fresh JVM; prints one
     * CRAWL_REP line per rep and a final CRAWL_RESULT with the best. */
-  private def crawlChild(cpus: Int, pagesPath: String, reps: Int): Unit = {
+  private def crawlChild(cpus: Int, pagesPath: String, reps: Int,
+                         expectedUrls: Long): Unit = {
     // AQE OFF for the crawl: its driver-side per-stage re-planning is a
     // parallelism-INDEPENDENT latency tax on every round's fixed small
     // shuffles — exactly what kills the wide side's scaling efficiency.
@@ -122,10 +123,11 @@ object Bench {
       val t0 = System.nanoTime()
       val res = Crawler.run(spark, pages, CrawlConfig(
         seeds = Seq(BenchCorpus.seedUrl), filter = BenchCorpus.filterPrefix,
-        // right-sized for the 200k-url corpus: an oversized bloom (2M) made
-        // every round's partial-aggregate buffers ~2 MB/partition, all
-        // merged serially on the driver
-        bloomExpectedItems = 1L << 18, collectMetrics = false,
+        // sized to the corpus (2× urls): an oversized bloom (2M at 200k
+        // urls) made every round's partial-aggregate buffers ~2 MB per
+        // partition, all merged serially on the driver
+        bloomExpectedItems = math.max(1L << 18, 2L * expectedUrls),
+        collectMetrics = false,
         pagesBuckets = 64))
       seen = res.seen.count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -158,7 +160,8 @@ object Bench {
     * (taskset + ActiveProcessorCount): an unpinned local[8] JVM still uses
     * all machine cores for GC/shuffle-IO/codegen threads, which fakes the
     * small-cluster side of the scaling ratio. */
-  private def forkCrawl(cpus: Int, pagesPath: String, reps: Int): ForkResult = {
+  private def forkCrawl(cpus: Int, pagesPath: String, reps: Int,
+                        expectedUrls: Long): ForkResult = {
     val java = System.getProperty("java.home") + "/bin/java"
     // fork heap is OWN-env-controlled (not SPARK_DRIVER_MEM, which the
     // driver may set very large for the sbt JVM): a 200k-page crawl fits
@@ -172,7 +175,8 @@ object Bench {
       s"-Xmx$mem", s"-XX:ActiveProcessorCount=$cpus", "-XX:+UseParallelGC",
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "__crawl", cpus.toString, pagesPath, reps.toString)
+      "graft.Bench", "__crawl", cpus.toString, pagesPath, reps.toString,
+      expectedUrls.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -192,14 +196,17 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 4 && args(0) == "__crawl") {
-      crawlChild(args(1).toInt, args(2), args(3).toInt)
+    if (args.length >= 5 && args(0) == "__crawl") {
+      crawlChild(args(1).toInt, args(2), args(3).toInt, args(4).toLong)
       return
     }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "200000").toInt
+    // 400k pages: big enough that per-round serial driver latency (the
+    // parallelism-independent term; PLANS.md §9) is amortized the way a
+    // real 10^10-frontier's 10^7-url rounds amortize it
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toInt
 
     // ---- headline operator queries ---------------------------------------
     val headline = Seq("q_agg_groupby", "q_join_revenue", "q_window_politeness",
@@ -320,11 +327,11 @@ object Bench {
       val prevHigh = bestHigh.bestWall
       val gate = sys.env.getOrElse("SPARK_GRAFT_CALM_GATE", "2.2").toDouble
       calibs :+= calmWindow(gate, 90000)
-      val rl = forkCrawl(nLow, pagesPath, repsLow)
+      val rl = forkCrawl(nLow, pagesPath, repsLow, benchPages.toLong)
       wallsLow ++= rl.repWalls; cpusLow ++= rl.repCpus
       if (rl.bestWall < bestLow.bestWall) bestLow = rl
       calibs :+= calmWindow(gate, 90000)
-      val rh = forkCrawl(nHigh, pagesPath, repsHigh)
+      val rh = forkCrawl(nHigh, pagesPath, repsHigh, benchPages.toLong)
       wallsHigh ++= rh.repWalls; cpusHigh ++= rh.repCpus
       if (rh.bestWall < bestHigh.bestWall) bestHigh = rh
       // same-alternation pair: adjacent in time → similar host state
