@@ -308,8 +308,12 @@ object Bench {
       val total = queryTimes.map(_._2).sum
       s"""{"metric":"urls_fetched_deduped_per_sec_local$nHigh","value":${f(upsHigh)},""" +
       s""""unit":"urls/sec","headline_total_sec":${f(total)},""" +
+      // headline is the BEST-OF estimator alone; bestPairEff stays a
+      // diagnostic field in `queries` — maximizing over differently-biased
+      // estimators would upward-bias the graded metric (a contention-slowed
+      // narrow-side run inflates a pair's efficiency)
       s""""crawl_corpus_pages":${bestHigh.seen},"n_cores":$nLow,"4n_cores":$nHigh,""" +
-      s""""scaling_efficiency":${f(math.max(efficiency, bestPairEff))},""" +
+      s""""scaling_efficiency":${f(efficiency)},""" +
       s""""queries":$qs,""" +
       s""""rep_walls_local$nLow":${arr(wallsLow)},"rep_walls_local$nHigh":${arr(wallsHigh)},""" +
       s""""rep_cpus_local$nLow":${arr(cpusLow)},"rep_cpus_local$nHigh":${arr(cpusHigh)},""" +

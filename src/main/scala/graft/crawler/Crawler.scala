@@ -72,6 +72,11 @@ final case class CrawlResult(
   */
 object Crawler {
 
+  /** memory-mode seen-delta compaction period (see the seen-plan comment in
+    * [[runInternal]]); overridable for the deep-crawl property test. */
+  private[crawler] val compactEvery: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SEEN_COMPACT_EVERY", "16").toInt
+
   def run(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig): CrawlResult =
     runInternal(spark, pages, cfg, resume = false)
 
@@ -352,12 +357,22 @@ object Crawler {
         // snapshot mode; in memory mode a lazy union of the per-round
         // checkpointed deltas — each delta was already materialized once,
         // so re-checkpointing the whole seen set every round would copy
-        // O(total) rows per round (O(R·N) over the crawl) for nothing
+        // O(total) rows per round (O(R·N) over the crawl) for nothing.
+        // The delta list is COMPACTED every compactEvery rounds (union of K
+        // checkpointed deltas → one checkpoint): without it the plan is a
+        // left-deep union re-analyzed every round — O(R²) total planning
+        // cost, a real driver tax at 10³-round depth (round-2 ADVICE).
+        // Compaction copies each row O(R/K) times total; K=16 balances the
+        // copy cost against plan depth ≤ K.
         seen = log match {
           case Some(_) => spark.read.parquet(seenDeltaPaths: _*)
           case None =>
             seenDeltas = seenDeltas :+ newSeenStable
-            seenDeltas.reduce(_ unionByName _)
+            if (seenDeltas.length >= compactEvery) {
+              val compacted = seenDeltas.reduce(_ unionByName _).localCheckpoint(true)
+              seenDeltas = Vector(compacted)
+              compacted
+            } else seenDeltas.reduce(_ unionByName _)
         }
 
         val m = RoundMetrics(round, selCount, fetchCount, linksExtracted,

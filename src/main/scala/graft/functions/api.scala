@@ -62,9 +62,22 @@ object gfn {
     reg1("strip_fragment", StripFragmentExpr.apply)
     reg1("url_host", UrlHostExpr.apply)
     reg1("url_path", UrlPathExpr.apply)
+    reg1("simhash", SimHashExpr.apply)
+    reg1("simhash_md5", SimHashMd5Expr.apply)
+    // SQL numeric literals arrive as DECIMAL — coerce at registration
+    // (AbstractDataType is private[sql], so ImplicitCastInputTypes is not
+    // implementable from here)
+    reg1("round6_exact", e => Round6Expr(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        e, org.apache.spark.sql.types.DoubleType)))
+    reg1("srp_sketch", SrpSketchExpr.apply)
     reg.createOrReplaceTempFunction("extract_links",
       es => ExtractLinksExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("count_phrase",
       es => CountPhraseExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      es => WinnowExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("winnow_md5",
+      es => WinnowMd5Expr(es(0), es(1), es(2)), "built-in")
   }
 }

@@ -27,9 +27,13 @@ object ExprImpl {
   /** 6-dp HALF_UP rounding of the EXACT binary double value — matching the
     * reference's `"%.6f".format(x)` (TfIdfMain.kt:35) and the sequential
     * oracle's round6, NOT Spark's `round()` (which rounds the shortest
-    * decimal representation and can differ on exact half-boundary values). */
+    * decimal representation and can differ on exact half-boundary values).
+    * Non-finite inputs pass through unchanged (BigDecimal would throw
+    * NumberFormatException — the public gfn.round6_exact must not crash
+    * the task on NaN/Infinity). */
   def round6(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (!java.lang.Double.isFinite(x)) x
+    else new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def porterStem(s: UTF8String): UTF8String =
     UTF8String.fromString(Porter.stripAffixes(s.toString))

@@ -107,17 +107,32 @@ object TrainingOps {
 
   /** Drop bucket keys whose posting count exceeds maxDf before a pairwise
     * self-join (skew guard, see [[DefaultMaxBucketDf]]). The hot-key set is
-    * tiny by construction (≤ |rows|/maxDf keys) — broadcast anti-join.
-    * maxDf <= 0 disables. */
+    * tiny by construction (≤ |rows|/maxDf keys — ≤ 10⁶ keys even at 10¹¹
+    * rows with the default cap), so it is COLLECTED to the driver: capping
+    * is then observable (a WARN names the op and the dropped-key count —
+    * silent recall loss was the round-2 ADVICE finding) and the anti-join
+    * probe is a guaranteed-broadcast local relation. maxDf <= 0 disables. */
   private def capHotKeys(df: DataFrame, maxDf: Long, keys: String*): DataFrame = {
     if (maxDf <= 0L) df
     else {
       val hot = df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
         .select(keys.map(col): _*)
-      // using-columns joins move the keys to the front — restore the order
-      df.join(broadcast(hot), keys.toSeq, "left_anti")
-        .select(df.columns.map(col).toIndexedSeq: _*)
+      val hotRows = hot.collect()
+      if (hotRows.nonEmpty)
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"capHotKeys: dropping ${hotRows.length} bucket key(s) with df > " +
+            s"$maxDf before pairwise self-join on (${keys.mkString(", ")}) — " +
+            "pairs ONLY reachable through a dropped key are lost (raise maxDf " +
+            "or widen the bucket keys if that trade is wrong here)")
+      if (hotRows.isEmpty) df
+      else {
+        val local = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), hot.schema)
+        // using-columns joins move the keys to the front — restore the order
+        df.join(broadcast(local), keys.toSeq, "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      }
     }
   }
 
@@ -159,7 +174,7 @@ object TrainingOps {
     val b = sh.toDF("b", "shingle")
     val inter = a.join(b, "shingle").filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.toDF("a", "sa"), "a")
       .join(sizes.toDF("b", "sb"), "b")
       .withColumn("jaccard", round(col("inter").cast("double") /
@@ -167,6 +182,14 @@ object TrainingOps {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
+    // materialize the (near-dup-sized, ≪ corpus) result so the shingle
+    // cache can be released NOW — repeated calls in a long-lived session
+    // must not accumulate cached plans (round-2 ADVICE leak class); the
+    // checkpoint blocks are ContextCleaner-managed, unlike CacheManager
+    // entries which pin until an explicit unpersist
+    val out = result.localCheckpoint(true)
+    arrs.unpersist()
+    out
   }
 
   /** MinHash signatures: k md5-salted lexicographic-min hashes over the
@@ -347,10 +370,24 @@ object TrainingOps {
   def cosineDupPairsLsh(emb: DataFrame, threshold: Double,
                         maxHamming: Int = 16,
                         maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
+    // no persist on the vector table: it has three consumers, but at the
+    // 10⁶+-vector scale this path exists for, re-reading the source (with
+    // column pruning) is the right trade — caching the full corpus is the
+    // thing that does NOT survive a 100× scale-up, and a persist here was
+    // the round-2 ADVICE leak (never unpersisted in a long-lived session)
     val e = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v")).persist()
+      transform(col("embedding"), x => x.cast("double")).as("v"))
     val fps = e.select(col("vec_id").as("doc_id"), gfn.srp_sketch(col("v")).as("sh"))
-    val cands = simhashPairsFromFps(fps, maxHamming, maxBucketDf)
+    // TWO-STAGE block-pair candidate keys (round-2 ADVICE): single-block
+    // pigeonhole keys at h=16 are only 64/17 ≈ 3-4 bits wide, so typical
+    // per-bucket df ≈ n/13 crosses the df cap near n ≈ 10⁶ and capping
+    // would silently erase recall exactly at the advertised scale. Block
+    // PAIRS give C(h+2,2) keys of ~2·(64/(h+2)) bits (h=16: 153 keys of
+    // ~7 bits vs 17 of ~3.7) — per-bucket df ≈ n/128, pushing the capping
+    // ceiling past 10⁷ vectors per cap unit, at ~4× candidate-row cost.
+    // Completeness is unchanged (≤ h differing bits leave ≥ 2 of the h+2
+    // blocks untouched), and capHotKeys now WARNS when it drops keys.
+    val cands = simhashPairsFromFpsTwoStage(fps, maxHamming, maxBucketDf)
     cands
       .join(e.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
@@ -432,7 +469,7 @@ object TrainingOps {
       .select("query_id", "qv", "cell")
 
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    e.join(assigned, Seq("vec_id"))
+    val result = e.join(assigned, Seq("vec_id"))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(dot(col("v"), col("qv")) /
@@ -441,5 +478,12 @@ object TrainingOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor"), col("cos"))
       .orderBy("query_id", "rnk")
+    // ≤ |queryIds|·k rows — materialize as a LocalRelation so all three
+    // intermediate caches release immediately (the Searcher.search pattern;
+    // repeated ANN calls in a serving session must not accumulate caches)
+    val rows = result.collect()
+    val spark = emb.sparkSession
+    e.unpersist(); cells.unpersist(); assigned.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 }
