@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.corpus.TestCorpus
 import graft.crawler.{CrawlConfig, Crawler}
+import graft.html.{Html, UrlCanon}
 import graft.index.Indexer
 import graft.ops.{Multimodal, TrainingOps => T}
 import graft.rank.{PageRankSpark, Searcher}
@@ -329,7 +330,89 @@ object SparkEntry {
     // siblings on this corpus (complete banding / recall-1.0 radius), so
     // they share the sibling's oracle verbatim
     "q_simhash_pairs_2stage" -> oracleSqlBase("q_simhash_pairs"),
-    "q_cosine_pairs_lsh" -> oracleSqlBase("q_cosine_pairs"))
+    "q_cosine_pairs_lsh" -> oracleSqlBase("q_cosine_pairs"),
+    "q_crawl_seen" -> crawlSeenOracleSql,
+    "q_pagerank" -> pagerankOracleSql)
+
+  // --------------------------------------------------------------------
+  // Self-contained oracles for the crawl/rank gates (VERDICT r2 next #4).
+  // The demo corpus generator and the per-page link pipeline are PURE
+  // Scala (no Spark), so the oracle SQL embeds the page-level edge list
+  // as a VALUES table — always in sync with the corpus, no pinned dump —
+  // and recomputes BFS reachability / PageRank in plain (recursive) SQL.
+  // What this verifies independently: the crawler's distributed frontier
+  // state machine (seen set, min-discovery-depth) and the 40-iteration
+  // PageRank join-aggregate INCLUDING the url→dense-id dictionary. Link
+  // extraction itself is verified separately (q_extract_invariant +
+  // HtmlSpec byte-identity).
+  // --------------------------------------------------------------------
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** page-level canonical edges; `self` mirrors the crawler (true) vs the
+    * indexer (false) extraction flag. */
+  private def demoEdges(self: Boolean): Vector[(String, String)] =
+    demoCorpus.flatMap { p =>
+      UrlCanon.extractLinks(Html.parseBytes(p.html).hrefs, p.url,
+        TestCorpus.filterPrefix, self).map(dst => (p.url, dst))
+    }.toVector
+
+  private def edgeValues(edges: Vector[(String, String)]): String =
+    edges.map { case (s, d) => s"(${sqlStr(s)}, ${sqlStr(d)})" }.mkString(", ")
+
+  /** seen set ≡ BFS reachability over the crawl edge list: a url is seen
+    * iff some fetched page links to it (depth ≥ 1 path from the seed; the
+    * seed itself re-enters seen only via a back-link), and its depth is
+    * the minimum discovery depth — level-synchronous BFS makes discovery
+    * round = shortest link distance. UNION-distinct recursion terminates;
+    * the depth < 40 guard bounds cycle re-walks (corpus diameter ≪ 40). */
+  private lazy val crawlSeenOracleSql: String =
+    s"""WITH RECURSIVE edges(src, dst) AS (
+       |  SELECT * FROM (VALUES ${edgeValues(demoEdges(self = true))}) AS t(src, dst)),
+       |reach(url, depth) AS (
+       |  SELECT ${sqlStr(TestCorpus.seedUrl)} AS url, 0 AS depth
+       |  UNION
+       |  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.url
+       |  WHERE r.depth < 40)
+       |SELECT url, CAST(MIN(depth) AS INT) AS depth FROM reach
+       |WHERE depth >= 1 GROUP BY url ORDER BY url""".stripMargin
+
+  /** full rank chain in SQL: seen set (as above) → lexicographic dense ids
+    * (T1) → adjacency through the dict (J1 silent-drop inner join, self
+    * links dropped at extraction) → 40 unrolled PageRank iterations with
+    * the reference's semantics (d=0.85, base 0.15, init 1.0, no dangling
+    * redistribution — SpiderMain.kt:225-239). */
+  private lazy val pagerankOracleSql: String = {
+    // MATERIALIZED: DuckDB inlines plain CTE references, so 40 chained
+    // iterations nest the binder past its 128-deep recursion limit;
+    // materializing each iteration keeps binding flat (and is also how a
+    // real engine would execute the power iteration)
+    val iters = (1 to 40).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT d.url_id, 0.15 + 0.85 * COALESCE((
+         |  SELECT SUM(r.rank / o.od) FROM ilinks l
+         |  JOIN outd o ON l.src = o.src JOIN r${k - 1} r ON r.url_id = l.src
+         |  WHERE l.dst = d.url_id), 0.0) AS rank FROM dict d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE edges(src, dst) AS (
+       |  SELECT * FROM (VALUES ${edgeValues(demoEdges(self = true))}) AS t(src, dst)),
+       |reach(url, depth) AS (
+       |  SELECT ${sqlStr(TestCorpus.seedUrl)} AS url, 0 AS depth
+       |  UNION
+       |  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.url
+       |  WHERE r.depth < 40),
+       |dict AS (
+       |  SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS url_id
+       |  FROM (SELECT DISTINCT url FROM reach WHERE depth >= 1)),
+       |iedges(src, dst) AS (
+       |  SELECT * FROM (VALUES ${edgeValues(demoEdges(self = false))}) AS t(src, dst)),
+       |ilinks AS (
+       |  SELECT d1.url_id AS src, d2.url_id AS dst
+       |  FROM iedges e JOIN dict d1 ON e.src = d1.url JOIN dict d2 ON e.dst = d2.url),
+       |outd AS (SELECT src, COUNT(*) AS od FROM ilinks GROUP BY src),
+       |r0 AS (SELECT url_id, CAST(1.0 AS DOUBLE) AS rank FROM dict),
+       |$iters
+       |SELECT url_id, ROUND(rank, 6) AS rank FROM r40 ORDER BY url_id""".stripMargin
+  }
 
   private def oracleSqlBase: Map[String, String] = Map(
 
