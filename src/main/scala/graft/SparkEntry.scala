@@ -349,6 +349,37 @@ object SparkEntry {
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** q_lang_id oracle, GENERATED from [[T.LangProfiles]] so the two sides
+    * cannot drift: identical per-word occurrence counts (length-delta of a
+    * delimited replace — exact integer-valued doubles), identical argmax
+    * chain (each arm compares >= against LATER profiles only, so ties
+    * break by profile order in both engines), identical 0.02 floor. */
+  private lazy val langIdOracleSql: String = {
+    val profiles = T.LangProfiles
+    val rawCols = profiles.map { case (l, ws) =>
+      val occ = ws.map { w =>
+        val tok = s" $w "
+        s"(length(text) - length(replace(lower(text), '$tok', ''))) / ${tok.length}"
+      }.mkString("\n           + ")
+      s"(${occ}) / toks AS ${l}_raw"
+    }
+    val scoreSel = profiles.map { case (l, _) => s"ROUND(${l}_raw, 4) AS ${l}_score" }
+    val arms = profiles.zipWithIndex.map { case ((l, _), i) =>
+      val later = profiles.drop(i + 1).map { case (m, _) => s"${l}_raw >= ${m}_raw" }
+      s"WHEN ${(later :+ s"${l}_raw > 0.02").mkString(" AND ")} THEN '$l'"
+    }.mkString("\n       ")
+    s"""SELECT doc_id, lang,
+       |  ${scoreSel.mkString(",\n  ")},
+       |  CASE $arms
+       |       ELSE 'other' END AS predicted
+       |FROM (SELECT doc_id, lang,
+       |  ${rawCols.mkString(",\n  ")}
+       |  FROM (SELECT doc_id, lang, text,
+       |          GREATEST(CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE), 1.0) AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** page-level canonical edges; `self` mirrors the crawler (true) vs the
     * indexer (false) extraction flag. */
   private def demoEdges(self: Boolean): Vector[(String, String)] =
@@ -518,18 +549,7 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    "q_lang_id" ->
-      """SELECT doc_id, lang,
-        |  ROUND(en / GREATEST(toks, 1.0), 4) AS en_score,
-        |  CASE WHEN en / GREATEST(toks, 1.0) > 0.02 THEN 'en' ELSE 'other' END AS predicted
-        |FROM (SELECT doc_id, lang,
-        |        CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS toks,
-        |        CAST((length(text) - length(replace(lower(text), ' the ', '')))/5
-        |           + (length(text) - length(replace(lower(text), ' and ', '')))/5
-        |           + (length(text) - length(replace(lower(text), ' of ', '')))/4
-        |           + (length(text) - length(replace(lower(text), ' to ', '')))/4 AS DOUBLE) AS en
-        |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> langIdOracleSql,
 
     "q_dedup_exact" ->
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT md5(text)) AS distinct_docs

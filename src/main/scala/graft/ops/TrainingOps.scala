@@ -64,18 +64,41 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
-  /** language id: deterministic n-gram/stopword heuristic — counts of
-    * common English function words vs text length. */
+  /** Function-word profiles for the stopword-profile language id. Short,
+    * high-frequency words only — the same portable occurrence-count
+    * primitive (length-delta of a delimited replace) works in Spark and
+    * the DuckDB oracle, so both engines compute IDENTICAL doubles and the
+    * argmax needs no tolerance. Overlaps ("la" in fr AND es) are real
+    * profile overlaps, resolved by the other words. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "que", "es"))
+
+  /** language id v2: per-language function-word densities; predicted =
+    * argmax profile score when it clears 0.02 function words per token,
+    * else "other". Ties break by profile order (en, de, fr, es) — pinned
+    * in both engines by identical comparison chains. */
   def langId(docs: DataFrame): DataFrame = {
-    def occ(token: String): Column =
+    def occ(word: String): Column = {
+      val token = s" $word "
       ((length(col("text")) - length(replace(lower(col("text")), lit(token), lit(""))))
         / lit(token.length)).cast("double")
-    val en = occ(" the ") + occ(" and ") + occ(" of ") + occ(" to ")
-    val toks = size(wsTokens(col("text"))).cast("double")
-    docs.select(col("doc_id"), col("lang"),
-        round(en / greatest(toks, lit(1.0)), 4).as("en_score"),
-        when(en / greatest(toks, lit(1.0)) > 0.02, lit("en"))
-          .otherwise(lit("other")).as("predicted"))
+    }
+    val toks = greatest(size(wsTokens(col("text"))).cast("double"), lit(1.0))
+    val scores = LangProfiles.map { case (langCode, words) =>
+      langCode -> words.map(occ).reduce(_ + _) / toks
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // first profile (in declared order) reaching the max wins the tie
+    val predicted = scores.reverse.foldLeft(lit("other")) {
+      case (acc, (langCode, s)) => when(s === best && best > 0.02, lit(langCode)).otherwise(acc)
+    }
+    val scoreCols = scores.map { case (langCode, s) =>
+      round(s, 4).as(s"${langCode}_score") }
+    docs.select(Seq(col("doc_id"), col("lang")) ++ scoreCols :+
+        predicted.as("predicted"): _*)
       .orderBy("doc_id")
   }
 

@@ -241,6 +241,25 @@ class OpsSpec extends AnyFunSuite {
       Set("url", "width", "height", "frame_no", "frame_hash"))
   }
 
+  test("langId v2: full confusion matrix on a real 5-language fixture " +
+       "(en/de/fr/es discriminated, gibberish → other)") {
+    val docs = Seq(
+      (0L, "en", "the cat sat on the mat and the dog ran to the house of the king"),
+      (1L, "de", "der hund ist und die katze ist in das haus und der mann ist da"),
+      (2L, "fr", "le chat est dans la maison et les chiens et le roi est ici"),
+      (3L, "es", "el perro es que la casa es los gatos que el rey es aqui"),
+      (4L, "other", "xylo qwer zvast plomb krint vosh dreb nulp grax welv")
+    ).toDF("doc_id", "lang", "text")
+    val out = T.langId(docs)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "en_score", "de_score",
+      "fr_score", "es_score", "predicted"))
+    val got = out.select("lang", "predicted")
+      .as[(String, String)].collect().toMap
+    // diagonal confusion matrix: every language maps to itself
+    assert(got == Map("en" -> "en", "de" -> "de", "fr" -> "fr",
+      "es" -> "es", "other" -> "other"))
+  }
+
   test("bloom: no false negatives, plausible fpp, merge") {
     val b = new graft.functions.Bloom(1024, 5)
     val items = (0L until 10000L by 7L).map(i => i * 0x9e3779b97f4a7c15L)
