@@ -35,6 +35,13 @@ object SparkEntry {
     spark.createDataset(demoCorpus).toDF()
   }
 
+  /** real-PNG media rows for the multimodal gates (binary payload in the
+    * html column; width/height come from a true IHDR parse). */
+  private def mediaPages(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(TestCorpus.mediaRows(6)).toDF()
+  }
+
   // the crawl/index/rank queries share one deterministic pipeline run —
   // memoized per session so Verify doesn't redo the crawl per query
   private var demoCache: Option[(SparkSession, DataFrame, graft.crawler.CrawlResult)] = None
@@ -309,15 +316,17 @@ object SparkEntry {
       ranks.withColumn("rank", round(col("rank"), 6)).orderBy("url_id")
     }),
 
-    // ---------------- multimodal plumbing (stubbed decode) ------------------
+    // ---------------- multimodal plumbing (real PNG headers + stub) ---------
     "q_multimodal_meta" -> ((s, _) => {
-      val meta = Multimodal.extractFeatures(demoPages(s))
+      val meta = Multimodal.extractFeatures(
+        demoPages(s).unionByName(mediaPages(s)))
       meta.toDF().select(col("url"), col("n_bytes"), col("width"), col("height"),
         col("n_frames")).orderBy("url")
     }),
 
     "q_multimodal_frames" -> ((s, _) => {
-      val meta = Multimodal.extractFeatures(demoPages(s))
+      val meta = Multimodal.extractFeatures(
+        demoPages(s).unionByName(mediaPages(s)))
       Multimodal.sampleFrames(meta).orderBy("url", "frame_no")
     })
   )

@@ -256,4 +256,41 @@ object TestCorpus {
 
     rows ++ robotsRows
   }
+
+  /** Deterministic REAL PNG files (signature + spec-correct IHDR with true
+    * dimensions + CRC32s + a filler IDAT + IEND) for the multimodal
+    * pipeline: the `html` column carries the binary payload, `text` is
+    * empty (opaque media, not markup). Kept SEPARATE from generate() so
+    * the crawl/index fixtures' page set is untouched. */
+  def mediaRows(n: Int, seed: Long = 42L): Vector[PageRow] = {
+    val rng = new Lcg(seed ^ 0x504e47L) // "PNG"
+    Vector.tabulate(n) { i =>
+      val width = 16 + rng.nextInt(2032)
+      val height = 16 + rng.nextInt(1520)
+      val bytes = pngBytes(width, height, rng)
+      PageRow(s"https://cdn.test/img$i.png",
+        new Timestamp(1546300800000L + i * 60000L), bytes, "", "und")
+    }
+  }
+
+  private def pngBytes(width: Int, height: Int, rng: Lcg): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val body = ctype.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    // bit depth 8, color type 6 (RGBA), deflate, no filter, no interlace
+    chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0))
+    chunk("IDAT", Array.fill(64 + rng.nextInt(192))(rng.nextLong().toByte))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }

@@ -26,6 +26,43 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Double])
 
+  private val PngSig: Array[Int] =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** REAL header parse for one format: PNG IHDR width/height (pure byte
+    * reads from the spec'd layout — signature, then the mandatory first
+    * IHDR chunk at offset 8 with big-endian dims at 16/20). No codec
+    * library needed; returns None for non-PNG bytes so the caller falls
+    * back to the stub. Pixel DECODE stays stubbed — this makes the
+    * metadata column real for PNG payloads, which is the part a training
+    * pipeline filters/partitions on. */
+  def decodePngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 24) return None
+    var i = 0
+    while (i < 8) {
+      if ((bytes(i) & 0xff) != PngSig(i)) return None
+      i += 1
+    }
+    // first chunk must be IHDR (length 13): bytes 8-11 = 0 0 0 13, 12-15 = "IHDR"
+    if (bytes(8) != 0 || bytes(9) != 0 || bytes(10) != 0 || bytes(11) != 13) return None
+    if (bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R') return None
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    val w = be32(16); val h = be32(20)
+    if (w <= 0 || h <= 0) None else Some((w, h))
+  }
+
+  /** Decode dispatch: real PNG header parse when the bytes are a PNG,
+    * deterministic stub otherwise. */
+  def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) =
+    decodePngDims(bytes) match {
+      case Some((w, h)) =>
+        val (_, _, _, feat) = decodeStub(bytes) // feature vector stays stubbed
+        (w, h, 1, feat)
+      case None => decodeStub(bytes)
+    }
+
   /** STUB decoder — deterministic fake standing in for e.g. libjpeg/ffmpeg.
     * Derives plausible metadata and an 8-dim "embedding" purely from the
     * bytes so tests are reproducible. Replace with a real codec to go
@@ -55,7 +92,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (url, bytes) =>
           val b = if (bytes == null) Array.empty[Byte] else bytes
-          val (w, h, f, feat) = decodeStub(b)
+          val (w, h, f, feat) = decode(b)
           var hash = 1125899906842597L
           var i = 0
           while (i < b.length) { hash = hash * 31 + (b(i) & 0xff); i += 1 }

@@ -241,6 +241,28 @@ class OpsSpec extends AnyFunSuite {
       Set("url", "width", "height", "frame_no", "frame_hash"))
   }
 
+  test("multimodal: PNG IHDR dimensions are parsed for real (not stubbed), " +
+       "non-PNG bytes fall back to the stub") {
+    val media = graft.corpus.TestCorpus.mediaRows(5)
+    // generator-side truth: re-read width/height straight from the IHDR
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    val expected = media.map(m => m.url -> (be32(m.html, 16), be32(m.html, 20))).toMap
+    assert(expected.values.toSet.size > 1) // dims actually vary
+    val df = spark.createDataset(media).toDF()
+    val got = Multimodal.extractFeatures(df).collect()
+      .map(m => m.url -> ((m.width, m.height), m.n_frames)).toMap
+    expected.foreach { case (url, wh) =>
+      assert(got(url)._1 == wh, s"$url IHDR dims")
+      assert(got(url)._2 == 1)
+    }
+    // corrupt the signature → stub path (deterministic fake dims)
+    val broken = media.head.html.clone(); broken(0) = 0x00
+    assert(Multimodal.decodePngDims(broken).isEmpty)
+    assert(Multimodal.decodePngDims("<html></html>".getBytes("UTF-8")).isEmpty)
+  }
+
   test("langId v2: full confusion matrix on a real 5-language fixture " +
        "(en/de/fr/es discriminated, gibberish → other)") {
     val docs = Seq(
