@@ -152,6 +152,32 @@ class OpsSpec extends AnyFunSuite {
     assert(r7 >= r3, "recall must not decrease with nprobe")
   }
 
+  test("IVF ANN on a CLUSTERED corpus (mixture of 20 Gaussians): " +
+       "recall@nprobe=3 >= 0.8 — the scale-path claim, not the isotropic floor") {
+    // The sf embeddings are isotropic, where ANY cell scheme's recall ≈
+    // probed fraction (previous test documents that floor honestly). Real
+    // embedding corpora are clustered; this fixture is the matching claim:
+    // neighbors concentrate in few cells, so probing 3/20 cells recovers
+    // nearly all true neighbors.
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val nCenters = 20
+    val centers = Array.fill(nCenters, dim)(rnd.nextGaussian())
+    val rows = for { c <- 0 until nCenters; m <- 0 until 25 } yield {
+      val v = centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      ((c * 25 + m).toLong, v.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = Seq(0L, 180L, 430L) // members of clusters 0, 7, 17
+    val bf = T.bruteForceCosineTopK(emb, queries, 10)
+      .select("query_id", "neighbor").as[(Long, Long)].collect().toSet
+    val ivf = T.ivfCosineTopK(emb, queries, 10, nprobe = 3)
+      .select("query_id", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(s"clustered IVF recall@nprobe=3: $recall")
+    assert(recall >= 0.8, s"clustered recall@3 $recall below 0.8")
+  }
+
   test("two-stage simhash banding (block pairs) produces the identical pair set") {
     val rnd = new scala.util.Random(13)
     val centers = Seq(0L, -1L, 0x0f0f0f0f0f0f0f0fL)
