@@ -64,4 +64,33 @@ class ResumeSpec extends AnyFunSuite {
     val totalSeen = spark.read.parquet(snaps.last.seenDeltaPaths: _*).count()
     assert(totalSeen == snaps.last.seenCount)
   }
+
+  test("deep crawl (45 rounds, memory mode): seen plan stays FLAT via delta " +
+       "compaction, result exact") {
+    // a 45-deep page chain forces one round per page — the worst case for
+    // the memory-mode union tower the round-2 ADVICE flagged (O(R²)
+    // planning without compaction)
+    val n = 46
+    def url(i: Int) = s"https://chain.test/p$i.html"
+    val rows = (0 until n).map { i =>
+      val html =
+        if (i + 1 < n) s"""<html><body><a href="p${i + 1}.html">n</a></body></html>"""
+        else "<html><body>end</body></html>"
+      graft.corpus.PageRow(url(i), new java.sql.Timestamp(0L),
+        html.getBytes("UTF-8"), "", "en")
+    }
+    val pages = spark.createDataset(rows).toDF()
+    val res = Crawler.run(spark, pages, CrawlConfig(Seq(url(0)), ".test/"))
+    // n-1 discovery rounds + the final round that fetches the chain end
+    // and discovers nothing
+    assert(res.rounds.size == n, s"expected $n rounds")
+    // exact: every chained page seen at its chain depth
+    val seen = res.seen.select("url", "depth").as[(String, Int)].collect().toMap
+    assert(seen == (1 until n).map(i => url(i) -> i).toMap)
+    // flat plan: the union tower never exceeds the compaction period
+    def unionCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      (if (p.nodeName == "Union") 1 else 0) + p.children.map(unionCount).sum
+    val depth = unionCount(res.seen.queryExecution.logical)
+    assert(depth <= 16, s"seen plan holds $depth unions — compaction not applied")
+  }
 }
