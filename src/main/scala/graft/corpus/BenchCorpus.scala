@@ -17,7 +17,11 @@ import java.sql.Timestamp
 object BenchCorpus {
 
   final case class Shape(hosts: Int, totalPages: Int, seed: Long = 42L,
-                         zipfExponent: Double = 1.0, linksPerPage: Int = 16)
+                         zipfExponent: Double = 1.0, linksPerPage: Int = 16,
+                         /** pages per directory page (v3 topology): each
+                           * host root links its ⌈n/dirSpan⌉ directory
+                           * pages; slices cover the host. */
+                         dirSpan: Int = 512)
 
   /** per-host page counts (Zipf), prefix offsets, total. */
   def hostLayout(shape: Shape): (Array[Int], Array[Int]) = {
@@ -78,16 +82,35 @@ object BenchCorpus {
     def a(href: String): Unit =
       sb.append("<a href=\"").append(href).append("\">l</a>")
     if (i + 1 < n) a(urlOf(host, i + 1))
-    if (i == 0 && host == 0) { var h = 0; while (h < shape.hosts) { a(urlOf(h, 0)); h += 1 } }
-    if (i == 0) {
-      // host roots are HUB pages: spread links across the whole host
-      // (every ~n/48th page) so BFS reaches the bulk of the corpus in few,
-      // LARGE rounds — the round-size-to-overhead ratio of a real 10^10
-      // frontier (whose rounds are 10^7+ urls), not a deep trickle where
-      // parallelism-independent per-round latency dominates the measure
-      val stride = math.max(1, n / 48)
-      var j = 1
-      while (j < n) { a(urlOf(host, j)); j += stride }
+    if (i == 0 && host == 0) {
+      // the seed is the global sitemap hub: it links every host root AND
+      // every host's directory pages, so round 1 fetches all directories
+      // and round 2 is one giant bulk round (~95% of the corpus)
+      var h = 0
+      while (h < shape.hosts) {
+        a(urlOf(h, 0))
+        val hDirs = (counts(h) + shape.dirSpan - 1) / shape.dirSpan
+        var j = 1
+        while (j <= math.min(hDirs, counts(h) - 1)) { a(urlOf(h, j)); j += 1 }
+        h += 1
+      }
+    }
+    // v3 topology: a DIRECTORY layer per host — the root links every
+    // directory page, each directory page links a contiguous ~dirSpan-page
+    // slice, together covering the whole host. BFS therefore converges in
+    // 4 level-synchronous rounds (seed → roots → directories → bulk) with
+    // ~99% of the fetch work in ONE giant round — the round-size-to-
+    // overhead ratio of a real 10^10-url frontier, whose rounds hold 10^7+
+    // urls each, instead of a 7-round trickle where the parallelism-
+    // independent per-round driver latency (~0.45 s) caps measurable
+    // scaling efficiency (PLANS.md §9).
+    val nDirs = (n + shape.dirSpan - 1) / shape.dirSpan
+    if (i == 0) { var j = 1; while (j <= math.min(nDirs, n - 1)) { a(urlOf(host, j)); j += 1 } }
+    if (i >= 1 && i <= nDirs) {
+      val lo = (i - 1) * shape.dirSpan
+      val hi = math.min(lo + shape.dirSpan, n)
+      var j = lo
+      while (j < hi) { if (j != i) a(urlOf(host, j)); j += 1 }
     }
     var l = 0
     val nl = shape.linksPerPage / 2 + next(shape.linksPerPage)

@@ -23,6 +23,25 @@ final case class CrawlConfig(
     maxRounds: Int = Int.MaxValue,
     bloomExpectedItems: Long = 1L << 22,
     bloomFpp: Double = 0.03,
+    /** Bloom pre-filter activation threshold on the SEEN count. Below it
+      * the exact shuffle-hash anti-join alone is cheaper than maintaining
+      * the filter: per round, the bloom costs a multi-hundred-KB aggregate
+      * buffer per partition merged on the driver, plus a re-broadcast —
+      * all parallelism-INDEPENDENT latency — to route rows around ONE
+      * distributed shuffle whose input is small anyway at that scale. At
+      * 10⁸+ seen urls the trade inverts hard (the filter skips shuffling
+      * ~all-new links against a 10-billion-row table). Crossing the
+      * threshold triggers a one-time rebuild from the full seen table;
+      * exactness NEVER depends on the bloom (false positives only add
+      * anti-join work), proven by the bloom-on ≡ bloom-off fixtures. */
+    bloomMinSeen: Long = 1L << 22,
+    /** frontier-side broadcast cutoff for the fetch join (rows). Below it
+      * the frontier broadcasts (the pages side is scanned in place, never
+      * shuffled); above it the join shuffles both sides — a broadcast
+      * build is serial driver latency, so past ~10⁵ rows the distributed
+      * shuffle wins the scaling ratio even when the absolute wall is
+      * close. */
+    broadcastMaxRows: Long = 400000L,
     saltBuckets: Int = 16,
     workDir: Option[String] = None,
     /** false skips the metrics-only jobs (fetch/link/dedup counts) — the
@@ -143,6 +162,20 @@ object Crawler {
       cfg.seeds.toDF("url")
         .select(col("url"), gfn.url_host(col("url")).as("host"), lit(0).as("depth"))
 
+    // bloom maintenance state: active from the start only when the
+    // threshold is disabled; otherwise activated (with a one-time rebuild)
+    // the first round the seen count crosses cfg.bloomMinSeen
+    var bloomActive = cfg.bloomMinSeen <= 0L
+
+    def rebuildBloom(): Unit = if (seenCount > 0) {
+      val bytes = seen.select(
+        org.apache.spark.sql.graft.Bridge.column(
+          BloomAggExpr(org.apache.spark.sql.graft.Bridge.expression(col("url_hash")),
+            bloomShape._1, bloomShape._2).toAggregateExpression()).as("b"))
+        .head().getAs[Array[Byte]](0)
+      driverBloom = Bloom.deserialize(bytes)
+    }
+
     val resumeState = if (resume) log.flatMap(_.latest) else None
     resumeState match {
       case Some(snap) =>
@@ -154,15 +187,8 @@ object Crawler {
         seen = if (snap.seenDeltaPaths.nonEmpty)
           spark.read.parquet(snap.seenDeltaPaths: _*) else emptySeen(spark)
         frontier = spark.read.parquet(snap.frontierPath)
-        // rebuild the pre-filter from the recovered seen set
-        if (seenCount > 0) {
-          val bytes = seen.select(
-            org.apache.spark.sql.graft.Bridge.column(
-              BloomAggExpr(org.apache.spark.sql.graft.Bridge.expression(col("url_hash")),
-                bloomShape._1, bloomShape._2).toAggregateExpression()).as("b"))
-            .head().getAs[Array[Byte]](0)
-          driverBloom = Bloom.deserialize(bytes)
-        }
+        // rebuild the pre-filter from the recovered seen set (if active)
+        if (bloomActive) rebuildBloom()
       case None => ()
     }
 
@@ -240,7 +266,7 @@ object Crawler {
           case Some(rows) => broadcast(spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), selKeyed.schema))
           case None =>
-            if (selCount <= 400000L) broadcast(selKeyed) else selKeyed
+            if (selCount <= cfg.broadcastMaxRows) broadcast(selKeyed) else selKeyed
         }
         // the parsed-links intermediate is cached ONLY when the metrics
         // pass re-reads it; in throughput mode it streams straight into the
@@ -267,9 +293,20 @@ object Crawler {
         val distinctLinks = if (cfg.collectMetrics) roundLinks.count() else -1L
 
         // --- seen-set dedup: bloom pre-filter + exact anti-join ------------
+        // activate (and one-time-rebuild) the bloom at the threshold
+        if (!bloomActive && seenCount >= cfg.bloomMinSeen) {
+          rebuildBloom()
+          bloomActive = true
+        }
         val newSeen = if (seenCount == 0) {
           roundLinks.select(col("url"), xxhash64(col("url")).as("url_hash"),
             col("depth"))
+        } else if (!bloomActive) {
+          // below bloomMinSeen: the exact anti-join alone (see the config
+          // scaladoc — the filter's serial maintenance dominates there)
+          roundLinks
+            .join(seen.select("url").hint("shuffle_hash"), Seq("url"), "left_anti")
+            .select(col("url"), xxhash64(col("url")).as("url_hash"), col("depth"))
         } else {
           val bc = spark.sparkContext.broadcast(driverBloom)
           val probe = org.apache.spark.sql.graft.Bridge.column(BloomProbeExpr(
@@ -307,18 +344,23 @@ object Crawler {
             (cp, Vector.empty[PartitionLineage])
         }
         // one pass over the materialized delta: row count, seed hits (for
-        // the frontier arithmetic below), and the bloom shard — instead of
-        // three separate jobs
-        val statsRow = newSeenStable.agg(
+        // the frontier arithmetic below), and — only while the filter is
+        // active — the bloom shard; instead of three separate jobs. With
+        // the bloom below threshold the aggregate carries 16-byte buffers
+        // per partition instead of filter-sized ones.
+        val baseAggs = Seq(
           count(lit(1)),
           coalesce(sum(when(col("url").isInCollection(cfg.seeds), 1L)
-            .otherwise(0L)), lit(0L)),
+            .otherwise(0L)), lit(0L)))
+        val aggs = if (bloomActive) baseAggs :+
           org.apache.spark.sql.graft.Bridge.column(
             BloomAggExpr(org.apache.spark.sql.graft.Bridge.expression(col("url_hash")),
-              bloomShape._1, bloomShape._2).toAggregateExpression())).head()
+              bloomShape._1, bloomShape._2).toAggregateExpression())
+          else baseAggs
+        val statsRow = newSeenStable.agg(aggs.head, aggs.tail: _*).head()
         val newCount = statsRow.getLong(0)
         val newSeenSeeds = statsRow.getLong(1)
-        if (newCount > 0)
+        if (bloomActive && newCount > 0)
           driverBloom.mergeInPlace(Bloom.deserialize(statsRow.getAs[Array[Byte]](2)))
         seenCount += newCount
 

@@ -234,7 +234,11 @@ object TrainingOps {
     * candidates. k=6, bands of 2 → 3 bands. */
   def minhashLshPairs(docs: DataFrame, k: Int = 6, rowsPerBand: Int = 2,
                       maxBandDf: Long = DefaultMaxBucketDf): DataFrame = {
-    val sig = minhashSignatures(docs, k)
+    // the signature table is TINY (one row of k hashes per doc, ≪ corpus
+    // text) but EXPENSIVE (k salted md5 minima over every shingle) — and
+    // it has three consumers (hot-key scan + both self-join sides), so
+    // persist it; recomputing it per consumer dominated the op's cost
+    val sig = minhashSignatures(docs, k).persist()
     // one pass + posexplode (a per-band union would recompute the k
     // signature hashes once PER BAND)
     val bandCols = (0 until k / rowsPerBand).map { bnd =>
@@ -245,9 +249,12 @@ object TrainingOps {
     val capped = capHotKeys(bands, maxBandDf, "band", "sig")
     val l = capped.toDF("a", "band", "sig")
     val r = capped.toDF("b", "band", "sig")
-    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+    val result = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
       .orderBy("a", "b")
+    val out = result.localCheckpoint(true) // release the cache (leak hygiene)
+    sig.unpersist()
+    out
   }
 
   /** SimHash near-dup fingerprints. `portable=true` (default) hashes tokens
@@ -282,6 +289,9 @@ object TrainingOps {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
     val nBlocks = maxHamming + 1
     val starts = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    // fingerprints are one LONG per doc but may be expensive upstream
+    // (a simhash over every token) — persist for the three consumers
+    val fps = sims.persist()
     // one pass + posexplode (a per-block union would recompute the
     // fingerprint once PER BLOCK)
     val blockCols = (0 until nBlocks).map { q =>
@@ -290,17 +300,20 @@ object TrainingOps {
       val mask = if (width >= 64) -1L else (1L << width) - 1L
       shiftright(col("sh"), lo).bitwiseAND(lit(mask))
     }
-    val blocked = sims.select(col("doc_id"), col("sh"),
+    val blocked = fps.select(col("doc_id"), col("sh"),
       posexplode(array(blockCols: _*)).as(Seq("q", "bucket")))
     val capped = capHotKeys(blocked, maxBucketDf, "q", "bucket")
     val l = capped.toDF("a", "sha", "q", "bucket")
     val r = capped.toDF("b", "shb", "q", "bucket")
-    l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
+    val result = l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
+    val out = result.localCheckpoint(true)
+    fps.unpersist()
+    out
   }
 
   /** winnowing fingerprint overlap pairs. `portable=true` uses md5 k-gram
@@ -308,16 +321,22 @@ object TrainingOps {
   def winnowPairs(docs: DataFrame, minShared: Int,
                   portable: Boolean = true,
                   maxFpDf: Long = DefaultMaxBucketDf): DataFrame = {
-    val fps = if (portable) gfn.winnow_md5(col("text"), lit(8), lit(4))
-              else gfn.winnow_fingerprints(col("text"), lit(8), lit(4))
-    val fp = capHotKeys(
-      docs.select(col("doc_id"), explode(fps).as("fp")), maxFpDf, "fp")
+    val fpsExpr = if (portable) gfn.winnow_md5(col("text"), lit(8), lit(4))
+                  else gfn.winnow_fingerprints(col("text"), lit(8), lit(4))
+    // fingerprint posting list: ~|text|/w longs per doc (≪ text bytes) but
+    // costs a full rolling-hash pass to build — persist for the hot-key
+    // scan + both join sides
+    val posting = docs.select(col("doc_id"), explode(fpsExpr).as("fp")).persist()
+    val fp = capHotKeys(posting, maxFpDf, "fp")
     val l = fp.toDF("a", "fp")
     val r = fp.toDF("b", "fp")
-    l.join(r, "fp").filter(col("a") < col("b"))
+    val result = l.join(r, "fp").filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .orderBy("a", "b")
+    val out = result.localCheckpoint(true)
+    posting.unpersist()
+    out
   }
 
   /** [[simhashPairsFromFps]] upgraded for web-scale corpora: bucket by
@@ -341,19 +360,23 @@ object TrainingOps {
     }
     // both block values packed into one 64-bit key (widths ≤ 32);
     // single pass + posexplode over all C(b,2) block-pair keys
+    val fps = sims.persist() // three consumers, expensive upstream
     val pairCols = (for { i <- 0 until nBlocks; j <- i + 1 until nBlocks }
       yield shiftleft(block(i), 32).bitwiseOR(block(j)))
-    val keyed = sims.select(col("doc_id"), col("sh"),
+    val keyed = fps.select(col("doc_id"), col("sh"),
       posexplode(array(pairCols: _*)).as(Seq("q", "bucket")))
     val capped = capHotKeys(keyed, maxBucketDf, "q", "bucket")
     val l = capped.toDF("a", "sha", "q", "bucket")
     val r = capped.toDF("b", "shb", "q", "bucket")
-    l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
+    val result = l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
+    val out = result.localCheckpoint(true)
+    fps.unpersist()
+    out
   }
 
   // ------------------------------------------------------------------

@@ -65,6 +65,22 @@ class ResumeSpec extends AnyFunSuite {
     assert(totalSeen == snaps.last.seenCount)
   }
 
+  test("bloom-off (below threshold), bloom-on (threshold 0), and mid-crawl " +
+       "crossover (threshold 10) produce IDENTICAL seen sets and rounds") {
+    val base = CrawlConfig(seeds, filter)
+    val off = Crawler.run(spark, pagesDf, base) // default threshold ≫ corpus
+    val on = Crawler.run(spark, pagesDf, base.copy(bloomMinSeen = 0L))
+    val cross = Crawler.run(spark, pagesDf, base.copy(bloomMinSeen = 10L))
+    def seenOf(r: graft.crawler.CrawlResult): Set[(String, Int)] =
+      r.seen.select("url", "depth").as[(String, Int)].collect().toSet
+    def roundsOf(r: graft.crawler.CrawlResult) =
+      r.rounds.map(m => (m.round, m.selected, m.newSeen, m.seenTotal))
+    assert(seenOf(on) == seenOf(off))
+    assert(seenOf(cross) == seenOf(off))
+    assert(roundsOf(on) == roundsOf(off))
+    assert(roundsOf(cross) == roundsOf(off))
+  }
+
   test("deep crawl (45 rounds, memory mode): seen plan stays FLAT via delta " +
        "compaction, result exact") {
     // a 45-deep page chain forces one round per page — the worst case for
