@@ -249,7 +249,11 @@ object Bench {
     // efficiency. Override with SPARK_GRAFT_SCALE_PAIR=8,32 etc.
     val pair = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
     val (nLow, nHigh) = (pair(0).trim.toInt, pair(1).trim.toInt)
-    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MS", "1500000").toLong
+    // 40 min: an alternation costs ~10-11 min on the v3 corpus, and the
+    // round-3 hunt needed alternation 1 to clear the 0.8 target inside a
+    // contention wave — a 25-min budget would cut the estimator off at
+    // exactly the sample that matters
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MS", "2400000").toLong
     val maxAlts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ALTS", "6").toInt
     // asymmetric reps: the narrow side is contention-immune (needs only
     // nLow free vCPUs — observed to hit quiet-window time on the first
