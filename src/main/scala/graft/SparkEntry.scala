@@ -341,7 +341,13 @@ object SparkEntry {
     "q_simhash_pairs_2stage" -> oracleSqlBase("q_simhash_pairs"),
     "q_cosine_pairs_lsh" -> oracleSqlBase("q_cosine_pairs"),
     "q_crawl_seen" -> crawlSeenOracleSql,
-    "q_pagerank" -> pagerankOracleSql)
+    "q_pagerank" -> pagerankOracleSql,
+    "q_crawl_polite" -> crawlPoliteOracleSql,
+    "q_serp" -> serpOracleSql,
+    "q_serp_details" -> serpDetailsOracleSql,
+    "q_extract_invariant" -> extractInvariantOracleSql,
+    "q_multimodal_meta" -> multimodalMetaOracleSql,
+    "q_multimodal_frames" -> multimodalFramesOracleSql)
 
   // --------------------------------------------------------------------
   // Self-contained oracles for the crawl/rank gates (VERDICT r2 next #4).
@@ -357,6 +363,205 @@ object SparkEntry {
   // --------------------------------------------------------------------
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** q_serp oracle: the full SERP (crawl → index → 40-iteration PageRank →
+    * query scoring → top-50) computed by the INDEPENDENT sequential
+    * reference oracle (graft.oracle.ReferenceOracle — pure Scala, no
+    * Spark) and pinned as VALUES. The driver's 1e-9 float tolerance
+    * absorbs distributed-vs-sequential summation-order ulps; the ScalaTest
+    * fixtures already hold this bound for every score component. */
+  private lazy val serpOracleSql: String = {
+    import graft.oracle.{ReferenceOracle => RO}
+    val crawl = RO.crawl(demoCorpus,
+      RO.CrawlParams(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix))
+    val index = RO.buildIndex(demoCorpus, crawl.seen, TestCorpus.filterPrefix)
+    val ranks = RO.pageRank(index, 40)
+    val res = RO.search("\"hong kong\" research", index, ranks, 50)
+    val rows = res.map { case (rank, s) =>
+      val url = index.urlsById(s.urlId.toInt)
+      val title = index.titles(s.urlId)
+      s"($rank, ${s.urlId}, ${sqlStr(url)}, ${s.total}, ${s.cos}, ${s.pr}, " +
+        s"${s.title}, ${sqlStr(title)})"
+    }.mkString(", ")
+    s"""SELECT CAST(rank AS INT) AS rank, CAST(url_id AS BIGINT) AS url_id, url,
+       |  CAST(total AS DOUBLE) AS total, CAST(cos AS DOUBLE) AS cos,
+       |  CAST(pr AS DOUBLE) AS pr, CAST(title_score AS DOUBLE) AS title_score,
+       |  title
+       |FROM (VALUES $rows) AS t(rank, url_id, url, total, cos, pr, title_score, title)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** q_serp_details oracle: the driver-facing metadata block (top-10 of
+    * "research systems" with titles, HKT-rendered last-modified chain,
+    * sizes, sorted parent/child url lists) assembled in pure Scala from
+    * the sequential oracle's index. The F9 date chain (warc_ts →
+    * copyright paragraph → 1990-01-01 default) reuses the expression
+    * kernel `ExprImpl.extractCopyrightDateMicros`, whose semantics are
+    * independently pinned by HtmlSpec; what THIS oracle verifies is the
+    * distributed multi-join assembly (J7/T4/F12). */
+  private lazy val serpDetailsOracleSql: String = {
+    import graft.oracle.{ReferenceOracle => RO}
+    val crawl = RO.crawl(demoCorpus,
+      RO.CrawlParams(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix))
+    val index = RO.buildIndex(demoCorpus, crawl.seen, TestCorpus.filterPrefix)
+    val ranks = RO.pageRank(index, 40)
+    val serp = RO.search("research systems", index, ranks, 10)
+    val pageByUrl = demoCorpus.map(p => p.url -> p).toMap
+    val parents: Map[Long, Vector[Long]] = index.links.toVector
+      .flatMap { case (src, dsts) => dsts.map(d => d -> src) }
+      .groupBy(_._1).map { case (d, v) => d -> v.map(_._2) }
+    val hktFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val defaultMicros =
+      java.time.LocalDateTime.of(1990, 1, 1, 0, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    val rows = serp.map { case (rank, s) =>
+      val id = s.urlId
+      val url = index.urlsById(id.toInt)
+      val page = pageByUrl.get(url)
+      val micros: Long = page match {
+        case Some(p) if p.warc_ts != null => p.warc_ts.getTime * 1000L
+        case Some(p) =>
+          val c = graft.functions.ExprImpl.extractCopyrightDateMicros(p.html)
+          if (c != null) c.longValue() else defaultMicros
+        case None => defaultMicros
+      }
+      val hkt = java.time.Instant
+        .ofEpochSecond(micros / 1000000L, (micros % 1000000L) * 1000L)
+        .atZone(java.time.ZoneId.of("Asia/Hong_Kong")).format(hktFmt)
+      val size = page.map(_.html.length).getOrElse(0)
+      val children = index.links.getOrElse(id, Vector.empty)
+        .map(d => index.urlsById(d.toInt)).sorted.mkString(",")
+      val parentCsv = parents.getOrElse(id, Vector.empty)
+        .map(src => index.urlsById(src.toInt)).sorted.mkString(",")
+      s"($rank, $id, ${sqlStr(url)}, ${sqlStr(index.titles(id))}, " +
+        s"${sqlStr(hkt)}, $size, ${sqlStr(parentCsv)}, ${sqlStr(children)})"
+    }.mkString(", ")
+    s"""SELECT CAST(rank AS INT) AS rank, CAST(url_id AS BIGINT) AS url_id,
+       |  url, title, last_modified_hkt, CAST(size_bytes AS INT) AS size_bytes,
+       |  parent_urls, child_urls
+       |FROM (VALUES $rows)
+       |  AS t(rank, url_id, url, title, last_modified_hkt, size_bytes,
+       |       parent_urls, child_urls)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** The extraction invariant (BASELINE.json:input_hint) pinned as a real
+    * hash-matched oracle: the expected output is `true` for EVERY corpus
+    * url by construction, so the oracle enumerates (url, true) — a driver
+    * compare then FAILS if any distributed extraction drifts from the
+    * generator's text (the previous rows-only check could not see a
+    * false). */
+  private lazy val extractInvariantOracleSql: String = {
+    val rows = demoCorpus.map(p => s"(${sqlStr(p.url)}, true)").mkString(", ")
+    s"""SELECT url, byte_identical FROM (VALUES $rows) AS t(url, byte_identical)
+       |ORDER BY url""".stripMargin
+  }
+
+  /** Multimodal oracles: the decode dispatch (PNG IHDR parse + stub
+    * fallback) and the frame-hash chain are PURE functions, so the oracle
+    * pins the exact expected table computed driver-side — verifying the
+    * distributed mapPartitions/posexplode plumbing reproduces it. */
+  private lazy val multimodalExpected: Vector[Multimodal.MediaMeta] =
+    (demoCorpus ++ TestCorpus.mediaRows(6)).map { p =>
+      val b = if (p.html == null) Array.empty[Byte] else p.html
+      val (w, h, f, feat) = Multimodal.decode(b)
+      var hash = 1125899906842597L
+      var i = 0
+      while (i < b.length) { hash = hash * 31 + (b(i) & 0xff); i += 1 }
+      Multimodal.MediaMeta(p.url, b.length, hash, w, h, f, feat)
+    }.toVector
+
+  private lazy val multimodalMetaOracleSql: String = {
+    val rows = multimodalExpected.map(m =>
+      s"(${sqlStr(m.url)}, ${m.n_bytes}, ${m.width}, ${m.height}, ${m.n_frames})")
+      .mkString(", ")
+    s"""SELECT url, CAST(n_bytes AS INT) AS n_bytes, CAST(width AS INT) AS width,
+       |  CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames
+       |FROM (VALUES $rows) AS t(url, n_bytes, width, height, n_frames)
+       |ORDER BY url""".stripMargin
+  }
+
+  private lazy val multimodalFramesOracleSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val rows = multimodalExpected.flatMap { m =>
+      (0 until m.n_frames).map { fno =>
+        // xxhash64(frame_seed BIGINT, frame_no INT), seed 42 — the exact
+        // hash chain Spark's xxhash64 computes
+        val h = XXH64.hashInt(fno, XXH64.hashLong(m.content_hash, 42L))
+        s"(${sqlStr(m.url)}, ${m.width}, ${m.height}, $fno, CAST($h AS BIGINT))"
+      }
+    }.mkString(", ")
+    s"""SELECT url, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       |  CAST(frame_no AS INT) AS frame_no, frame_hash
+       |FROM (VALUES $rows) AS t(url, width, height, frame_no, frame_hash)
+       |ORDER BY url, frame_no""".stripMargin
+  }
+
+  /** q_crawl_polite oracle: the politeness/robots crawl unrolled as
+    * per-round MATERIALIZED CTEs. Static facts come from pure Scala — the
+    * edge list (self=true), and per-url (host, disallowed) where
+    * `disallowed` replicates the engine's robots semantics (Disallow:
+    * prefixes parsed per host from the corpus robots.txt pages, matched
+    * against the url path; hosts without rules allow all). Each round:
+    * candidates = frontier minus disallowed → per-host top-B by
+    * (depth, url) via row_number → fetch through the edge list with
+    * min-discovery-depth → anti-join seen → frontier = unselected
+    * remainder + non-seed discoveries. Rounds past the fixpoint are
+    * no-ops, so unrolling a fixed 14 is safe for this corpus (the engine
+    * stops at ~7). Output = the final frontier: discovered-but-
+    * never-fetched urls (robots-blocked leftovers). */
+  private lazy val crawlPoliteOracleSql: String = {
+    val budget = 2
+    val nRounds = 14
+    // robots: host → disallow prefixes (engine semantics, robotsTable)
+    val robots: Map[String, Vector[String]] = demoCorpus
+      .filter(_.url.endsWith("/robots.txt"))
+      .map { p =>
+        val host = UrlCanon.hostOf(p.url)
+        val prefixes = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").map(_.trim)
+          .filter(_.toLowerCase.startsWith("disallow:"))
+          .map(_.substring(9).trim).filter(_.nonEmpty).toVector
+        host -> prefixes
+      }.toMap
+    val edges = demoEdges(self = true)
+    val allUrls = (edges.flatMap(e => Seq(e._1, e._2)) :+ TestCorpus.seedUrl).distinct
+    val urlRows = allUrls.map { u =>
+      val host = UrlCanon.hostOf(u)
+      val dis = robots.getOrElse(host, Vector.empty)
+        .exists(p => UrlCanon.pathOf(u).startsWith(p))
+      s"(${sqlStr(u)}, ${sqlStr(host)}, $dis)"
+    }.mkString(", ")
+    val seedList = sqlStr(TestCorpus.seedUrl)
+    val rounds = (1 to nRounds).map { k =>
+      s"""sel_$k AS MATERIALIZED (
+         |  SELECT url, depth FROM (
+         |    SELECT f.url, f.depth,
+         |      row_number() OVER (PARTITION BY u.host ORDER BY f.depth, f.url) AS rn
+         |    FROM fr_${k - 1} f JOIN urls u USING (url) WHERE NOT u.disallowed)
+         |  WHERE rn <= $budget),
+         |new_$k AS MATERIALIZED (
+         |  SELECT l.url, l.depth FROM (
+         |    SELECT e.dst AS url, MIN(s.depth + 1) AS depth
+         |    FROM sel_$k s JOIN edges e ON e.src = s.url GROUP BY e.dst) l
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen_${k - 1} x WHERE x.url = l.url)),
+         |seen_$k AS MATERIALIZED (
+         |  SELECT url, depth FROM seen_${k - 1}
+         |  UNION ALL SELECT url, depth FROM new_$k),
+         |fr_$k AS MATERIALIZED (
+         |  SELECT f.url, f.depth FROM fr_${k - 1} f
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel_$k s WHERE s.url = f.url)
+         |  UNION ALL SELECT url, depth FROM new_$k WHERE url NOT IN ($seedList))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges(src, dst) AS (
+       |  SELECT * FROM (VALUES ${edgeValues(edges)}) AS t(src, dst)),
+       |urls(url, host, disallowed) AS (
+       |  SELECT * FROM (VALUES $urlRows) AS t(url, host, disallowed)),
+       |fr_0 AS (SELECT $seedList AS url, 0 AS depth),
+       |seen_0 AS (SELECT url, depth FROM fr_0 WHERE 1 = 0),
+       |$rounds
+       |SELECT url, CAST(depth AS INT) AS depth FROM fr_$nRounds ORDER BY url""".stripMargin
+  }
 
   /** q_lang_id oracle, GENERATED from [[T.LangProfiles]] so the two sides
     * cannot drift: identical per-word occurrence counts (length-delta of a
