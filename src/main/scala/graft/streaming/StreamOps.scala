@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured-Streaming forms of the crawler's core dataflow — the
+  * continuous-ingestion reading of the same semantics the batch engine
+  * implements round-synchronously (BASELINE.json north_star: a frontier
+  * is naturally a stream of discovered URLs; a fetch log is naturally a
+  * stream of events). Every operator here is a plain transformation on a
+  * streaming DataFrame: callers own the trigger/sink wiring, tests drive
+  * them with MemoryStream + processAllAvailable (deterministic).
+  *
+  * Scale notes: state stores are keyed exactly like the batch shuffles
+  * (url hash / host), so a 1000-executor cluster partitions state the
+  * same way the batch job partitions its joins; the unbounded variants
+  * are paired with watermarked siblings that BOUND state for true
+  * continuous operation.
+  */
+object StreamOps {
+
+  /** The URL-seen set as a streaming operator: emit each url the FIRST
+    * time it appears, drop re-discoveries (the streaming equivalent of
+    * the batch bloom+anti-join dedup, Crawler.scala). State grows with
+    * the url universe — the honest semantics of an exact seen set; use
+    * [[seenFilterWatermarked]] when re-discoveries are known to arrive
+    * within a bounded lateness. */
+  def seenFilter(urls: DataFrame): DataFrame =
+    urls
+      .withColumn("url_hash", xxhash64(col("url")))
+      .dropDuplicates("url_hash", "url")
+
+  /** Seen-set dedup with BOUNDED state: exact within the watermark delay
+    * (re-discoveries separated by more than `delay` may re-emit — the
+    * standard state-bounding trade for infinite streams). `tsCol` is the
+    * event-time column (e.g. warc_ts). */
+  def seenFilterWatermarked(urls: DataFrame, tsCol: String,
+                            delay: String): DataFrame =
+    urls
+      .withColumn("url_hash", xxhash64(col("url")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("url_hash", "url")
+
+  /** Per-host fetch-rate observability: tumbling event-time windows of
+    * fetch counts per host with a watermark (late fetch records beyond
+    * `delay` are dropped; state is bounded by delay + window). The
+    * streaming reading of the politeness budget's *monitoring* side. */
+  def fetchRateByHost(fetches: DataFrame, tsCol: String,
+                      windowLen: String, delay: String): DataFrame =
+    fetches
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen), col("host"))
+      .agg(count(lit(1)).as("fetches"))
+      .select(col("window.start").as("window_start"), col("host"),
+        col("fetches"))
+
+  final case class FetchRequest(host: String, url: String)
+  final case class GatedFetch(host: String, url: String, seq: Long,
+                              allowed: Boolean)
+
+  /** Per-host politeness budget as CUSTOM STREAMING STATE
+    * (mapGroupsWithState): each host carries a fetch counter across
+    * micro-batches; the first `budget` requests per host are allowed,
+    * the rest are emitted deferred (allowed=false) for re-queueing — the
+    * continuous form of the batch two-phase politeness window
+    * (Crawler.politenessSelect). Requests within a batch are processed
+    * in (url) order so output is deterministic under MemoryStream tests.
+    * State per host is one Long — bounded by the host universe, exactly
+    * like the batch window's grouping. */
+  def politenessGate(requests: Dataset[FetchRequest],
+                     budget: Long): Dataset[GatedFetch] = {
+    import requests.sparkSession.implicits._
+    requests
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[Long, GatedFetch](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (host: String, batch: Iterator[FetchRequest], state: GroupState[Long]) =>
+          val start = state.getOption.getOrElse(0L)
+          val ordered = batch.toVector.sortBy(_.url)
+          val out = ordered.zipWithIndex.map { case (r, i) =>
+            val seq = start + i
+            GatedFetch(host, r.url, seq, allowed = seq < budget)
+          }
+          state.update(start + ordered.size)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** Structured-Streaming operators driven deterministically: MemoryStream
+  * batches + processAllAvailable, results in memory sinks. Each test
+  * checks cross-batch STATE semantics (the part a batch test can't). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"streamspec_$qn" }
+
+  test("seenFilter emits each url exactly once ACROSS micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamOps.seenFilter(in.toDF().toDF("url"))
+      .writeStream.format("memory").queryName(nextName())
+      .outputMode("append").start()
+    in.addData("a", "b", "a")
+    q.processAllAvailable()
+    in.addData("b", "c", "a") // re-discoveries from earlier batches
+    q.processAllAvailable()
+    val got = spark.table(s"streamspec_$qn").select("url")
+      .as[String].collect().sorted.toSeq
+    q.stop()
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("fetchRateByHost: watermarked tumbling windows count per host") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "host")
+    val q = StreamOps.fetchRateByHost(df, "ts", "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName(nextName())
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    in.addData((ts(1), "h1"), (ts(3), "h1"), (ts(4), "h2"), (ts(12), "h1"))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    in.addData((ts(40), "h2"))
+    q.processAllAvailable()
+    val got = spark.table(s"streamspec_$qn")
+      .select(col("window_start").cast("long"), col("host"), col("fetches"))
+      .as[(Long, String, Long)].collect().toSet
+    q.stop()
+    assert(got.contains((0L, "h1", 2L)))
+    assert(got.contains((0L, "h2", 1L)))
+    assert(got.contains((10L, "h1", 1L)))
+  }
+
+  test("politenessGate: per-host budget persists across micro-batches " +
+       "(custom mapGroupsWithState state)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[StreamOps.FetchRequest]
+    val q = StreamOps.politenessGate(in.toDS(), budget = 2)
+      .writeStream.format("memory").queryName(nextName())
+      .outputMode("append").start()
+    in.addData(StreamOps.FetchRequest("h1", "u1"),
+      StreamOps.FetchRequest("h1", "u2"), StreamOps.FetchRequest("h2", "u3"))
+    q.processAllAvailable()
+    // second batch: h1 already spent its budget of 2 — MUST be deferred
+    in.addData(StreamOps.FetchRequest("h1", "u4"),
+      StreamOps.FetchRequest("h2", "u5"))
+    q.processAllAvailable()
+    val got = spark.table(s"streamspec_$qn")
+      .as[StreamOps.GatedFetch].collect()
+      .map(g => (g.host, g.url) -> g.allowed).toMap
+    q.stop()
+    assert(got(("h1", "u1")) && got(("h1", "u2")))
+    assert(!got(("h1", "u4")), "h1's third request must exceed budget 2")
+    assert(got(("h2", "u3")) && got(("h2", "u5")))
+  }
+
+  test("seenFilterWatermarked dedups within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("warc_ts", "url")
+    val q = StreamOps.seenFilterWatermarked(df, "warc_ts", "10 seconds")
+      .writeStream.format("memory").queryName(nextName())
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+    q.processAllAvailable()
+    in.addData((ts(5), "a")) // still within horizon → dropped
+    q.processAllAvailable()
+    val got = spark.table(s"streamspec_$qn").select("url")
+      .as[String].collect().sorted.toSeq
+    q.stop()
+    assert(got == Seq("a", "b"))
+  }
+}
