@@ -204,6 +204,9 @@ object SparkEntry {
         .orderBy("user_id", "rn")
     }),
 
+    "q_sessionize" -> ((s, d) =>
+      T.sessionize(t(s, d, "events"), gapSeconds = 21600L)),
+
     // ---------------- text analysis ----------------------------------------
     "q_token_counts" -> ((s, d) =>
       T.tokenCounts(t(s, d, "documents"))
@@ -739,6 +742,26 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
         |  FROM events)
         |WHERE rn <= 3 AND user_id < 200 ORDER BY user_id, rn""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM gaps),
+        |sess AS (
+        |  SELECT user_id, event_id, value, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,

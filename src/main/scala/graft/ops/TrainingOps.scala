@@ -102,6 +102,33 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Event sessionization — the classic behavioral-pipeline op: per-user
+    * events split into sessions at inactivity gaps > `gapSeconds`,
+    * aggregated per session. Window functions over (user_id; ts,
+    * event_id) — the same partitioning a 100 TB event log would shuffle
+    * by anyway; no driver-side state. Money-sum pattern: exact DECIMAL
+    * accumulation, DOUBLE at the boundary (oracle-parity rule). */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // events.ts arrives as TIMESTAMP_NTZ from parquet; unix_micros wants
+    // TIMESTAMP — the cast is identity under the engine's fixed UTC session
+    val us = unix_micros(col("ts").cast("timestamp"))
+    events
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          us - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min(us).as("start_us"),
+        max(us).as("end_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_no")
+  }
+
   // ------------------------------------------------------------------
   // deduplication
   // ------------------------------------------------------------------
