@@ -308,6 +308,28 @@ class OpsSpec extends AnyFunSuite {
       "es" -> "es", "other" -> "other"))
   }
 
+  test("sessionize: inactivity gaps split sessions, ties ordered by event_id, " +
+       "exact DECIMAL sums") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: two events 10 min apart, then a 2-hour gap, then one more
+      (1L, ts(0), 1L, "a", 1.10),
+      (2L, ts(600), 1L, "b", 2.20),
+      (3L, ts(600 + 7800), 1L, "c", 4.40),
+      // user 2: single event
+      (4L, ts(50), 2L, "d", 8.80),
+      // user 1: same-timestamp tie with event 1 — event_id orders it
+      (5L, ts(0), 1L, "e", 0.01)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = T.sessionize(events, gapSeconds = 3600L)
+      .select("user_id", "session_no", "n_events", "start_us", "end_us", "sum_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 0L, 600000000L, 3.31),            // events 1,5,2 (tie by id)
+      (1L, 2L, 1L, 8400000000L, 8400000000L, 4.40),  // after the 2h10m gap
+      (2L, 1L, 1L, 50000000L, 50000000L, 8.80)))
+  }
+
   test("bloom: no false negatives, plausible fpp, merge") {
     val b = new graft.functions.Bloom(1024, 5)
     val items = (0L until 10000L by 7L).map(i => i * 0x9e3779b97f4a7c15L)
