@@ -74,6 +74,9 @@ object Plans {
         .select(explode(col("toks")).as("w"))
         .groupBy("w").count()
     }
+    section("sessionize: single user_id exchange shared by lag + running-sum windows and the aggregate") {
+      T.sessionize(spark.read.parquet(s"$sf/events.parquet"), 21600L)
+    }
     section("tfidf DAG: partial aggregation") {
       idx.tfidf
     }
