@@ -250,6 +250,8 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) =>
       T.bruteForceCosineTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L), k = 10)),
 
+    "q_quantize" -> ((s, d) => T.quantizeEmbeddings(t(s, d, "embeddings"))),
+
     "q_ann_ivf" -> ((s, d) =>
       T.ivfCosineTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L), k = 10)),
 
@@ -906,6 +908,20 @@ object SparkEntry {
         |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
         |GROUP BY 1,2 HAVING COUNT(*) >= 60
         |ORDER BY a, b""".stripMargin,
+
+    "q_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+        |  FROM e)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  array_to_string(list_transform(v, x ->
+        |    CAST(LEAST(GREATEST(ROUND(x * 127.0 / scale, 0), -127.0), 127.0) AS INT)),
+        |    ',') AS codes
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
