@@ -273,6 +273,66 @@ object TestCorpus {
     }
   }
 
+  /** Deterministic REAL JPEG header streams: SOI + APP0/JFIF + a DQT
+    * filler segment + SOF0 carrying the true dimensions + EOI. The SOF
+    * walk in Multimodal.decodeJpegDims must skip the two leading
+    * variable-length segments, exactly as in a camera JPEG. Entropy data
+    * is omitted — header metadata is the real part; pixel decode stays
+    * stubbed. */
+  def jpegRows(n: Int, seed: Long = 42L): Vector[PageRow] = {
+    val rng = new Lcg(seed ^ 0x4a504547L) // "JPEG"
+    Vector.tabulate(n) { i =>
+      val width = 16 + rng.nextInt(4064)
+      val height = 16 + rng.nextInt(3024)
+      PageRow(s"https://cdn.test/photo$i.jpg",
+        new Timestamp(1546300800000L + i * 60000L),
+        jpegBytes(width, height, rng), "", "und")
+    }
+  }
+
+  /** Deterministic REAL GIF headers: GIF89a signature + logical-screen
+    * descriptor with true little-endian dimensions + a 4-entry global
+    * color table + trailer. */
+  def gifRows(n: Int, seed: Long = 42L): Vector[PageRow] = {
+    val rng = new Lcg(seed ^ 0x474946L) // "GIF"
+    Vector.tabulate(n) { i =>
+      val width = 16 + rng.nextInt(1000)
+      val height = 16 + rng.nextInt(800)
+      PageRow(s"https://cdn.test/anim$i.gif",
+        new Timestamp(1546300800000L + i * 60000L),
+        gifBytes(width, height, rng), "", "und")
+    }
+  }
+
+  private def jpegBytes(width: Int, height: Int, rng: Lcg): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int*): Unit = v.foreach(x => out.write(x & 0xff))
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xe0); be16(16) // APP0/JFIF: version 1.2, dpi units, 1x1 density
+    b('J', 'F', 'I', 'F', 0, 1, 2, 1, 0, 1, 0, 1, 0, 0)
+    b(0xff, 0xdb); be16(2 + 1 + 64); b(0) // DQT, table 0
+    (0 until 64).foreach(_ => out.write(1 + rng.nextInt(255)))
+    b(0xff, 0xc0); be16(8 + 3 * 3) // SOF0: precision 8, 3 components
+    b(8); be16(height); be16(width); b(3)
+    b(1, 0x22, 0); b(2, 0x11, 1); b(3, 0x11, 1)
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  private def gifBytes(width: Int, height: Int, rng: Lcg): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    "GIF89a".foreach(c => out.write(c.toInt))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0x91) // GCT present, 2-entry-exponent size bits → 4 entries
+    out.write(rng.nextInt(4)) // background color index
+    out.write(0) // aspect ratio
+    (0 until 4 * 3).foreach(_ => out.write(rng.nextInt(256))) // GCT RGB
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   private def pngBytes(width: Int, height: Int, rng: Lcg): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))

@@ -54,7 +54,14 @@ final case class CrawlConfig(
       * the frontier touches — small rounds stop paying a full-table scan.
       * This is the sandbox stand-in for bucketed/Iceberg-partitioned page
       * storage on a real cluster. */
-    pagesBuckets: Int = 0) {
+    pagesBuckets: Int = 0,
+    /** memory-mode seen-delta compaction period (see the seen-plan comment
+      * in Crawler.runInternal). Per-run (r3 ADVICE: a JVM-wide env-read
+      * val meant two crawls in one process shared one period and a test
+      * setting the env after class-load silently no-opped); the env var
+      * only seeds the DEFAULT at config construction. */
+    compactEvery: Int =
+      sys.env.getOrElse("SPARK_GRAFT_SEEN_COMPACT_EVERY", "16").toInt) {
   def configHash: String =
     java.lang.Long.toHexString(graft.functions.ExprImpl.hashCfg(
       s"$seeds|$filter|$maxSeen|$hostBudget|$maxDepth|$respectRobots"))
@@ -90,11 +97,6 @@ final case class CrawlResult(
   *     identical ordering (graft.snapshot.SnapshotLog).
   */
 object Crawler {
-
-  /** memory-mode seen-delta compaction period (see the seen-plan comment in
-    * [[runInternal]]); overridable for the deep-crawl property test. */
-  private[crawler] val compactEvery: Int =
-    sys.env.getOrElse("SPARK_GRAFT_SEEN_COMPACT_EVERY", "16").toInt
 
   def run(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig): CrawlResult =
     runInternal(spark, pages, cfg, resume = false)
@@ -410,7 +412,7 @@ object Crawler {
           case Some(_) => spark.read.parquet(seenDeltaPaths: _*)
           case None =>
             seenDeltas = seenDeltas :+ newSeenStable
-            if (seenDeltas.length >= compactEvery) {
+            if (seenDeltas.length >= cfg.compactEvery) {
               val compacted = seenDeltas.reduce(_ unionByName _).localCheckpoint(true)
               seenDeltas = Vector(compacted)
               compacted

@@ -53,10 +53,62 @@ object Multimodal {
     if (w <= 0 || h <= 0) None else Some((w, h))
   }
 
-  /** Decode dispatch: real PNG header parse when the bytes are a PNG,
-    * deterministic stub otherwise. */
+  /** REAL JPEG dimensions: walk the marker stream from SOI to the first
+    * SOF frame header (C0-CF minus DHT/JPG/DAC), skipping the variable-
+    * length APP/DQT/COM segments in front of it — the layout every camera
+    * or web JPEG has. Height/width are big-endian at SOF payload offsets
+    * 1/3 (after the precision byte). Pure byte reads, no codec; None on
+    * anything that is not a well-formed JPEG header stream. */
+  def decodeJpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None // not a marker: corrupt
+      var marker = bytes(i + 1) & 0xff
+      while (marker == 0xff && i + 2 < bytes.length) { i += 1; marker = bytes(i + 1) & 0xff } // fill bytes
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS before any SOF
+      if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        i += 2 // standalone RSTn/TEM: no length field
+      } else {
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 8 >= bytes.length) return None
+          val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+          val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** REAL GIF dimensions: the logical-screen descriptor directly after the
+    * GIF87a/GIF89a signature — width/height little-endian at offsets 6/8.
+    * (Frame COUNT for animated GIFs would need a full block walk through
+    * sub-block chains; n_frames stays the stub's value.) */
+  def decodeGifDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 13) return None
+    if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != '8' || (bytes(4) != '7' && bytes(4) != '9') ||
+        bytes(5) != 'a') return None
+    val w = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val h = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** Decode dispatch: real header parses for the three formats a crawler
+    * actually sees (PNG IHDR, JPEG SOF, GIF logical screen) — the
+    * width/height a training pipeline filters and partitions on are TRUE
+    * values for all three; the deterministic stub handles everything else.
+    * Pixel decode / the feature vector stay stubbed (no codec libraries
+    * in this container). */
   def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) =
-    decodePngDims(bytes) match {
+    decodePngDims(bytes).orElse(decodeJpegDims(bytes)).orElse(decodeGifDims(bytes)) match {
       case Some((w, h)) =>
         val (_, _, _, feat) = decodeStub(bytes) // feature vector stays stubbed
         (w, h, 1, feat)

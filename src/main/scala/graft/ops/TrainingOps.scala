@@ -17,6 +17,19 @@ import graft.gfn
   * the self-join is candidate-bounded instead of O(n²); aggregations are
   * map-side-combinable; doubles destined for the oracle compare are
   * rounded at the boundary.
+  *
+  * EAGERNESS CONTRACT: the pairwise dedup ops ([[jaccardPairs]],
+  * [[minhashLshPairs]], [[simhashPairsFromFps]],
+  * [[simhashPairsFromFpsTwoStage]], [[winnowPairs]]) and [[ivfCosineTopK]]
+  * are ACTIONS, not lazy transformations — constructing the result runs
+  * Spark jobs on the caller's thread (the hot-key scan, an eager
+  * localCheckpoint / collect that lets intermediate caches release
+  * immediately — cache-leak hygiene in long-lived sessions outweighs plan
+  * composability here). Compose further transformations on the returned
+  * (already materialized, near-dup-sized) DataFrame freely; audit plans
+  * with `.explain` BEFORE calling, on the inputs. The purely lazy ops
+  * (text analysis, [[quantizeEmbeddings]], [[cosineDupPairsExact]],
+  * [[bruteForceCosineTopK]], [[sessionize]]) stay transformations.
   */
 object TrainingOps {
 
@@ -110,9 +123,17 @@ object TrainingOps {
     * accumulation, DOUBLE at the boundary (oracle-parity rule). */
   def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    // events.ts arrives as TIMESTAMP_NTZ from parquet; unix_micros wants
-    // TIMESTAMP — the cast is identity under the engine's fixed UTC session
-    val us = unix_micros(col("ts").cast("timestamp"))
+    // events.ts arrives as TIMESTAMP_NTZ from parquet. The micros
+    // extraction must NOT route through a NTZ→TIMESTAMP cast: that cast
+    // interprets the wall time in spark.sql.session.timeZone, silently
+    // shifting absolute start_us/end_us under a non-UTC session (r3
+    // ADVICE). timestampdiff between two NTZ values is zone-free by
+    // construction; plain TIMESTAMP inputs keep the direct unix_micros.
+    val us = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
+    }
     events
       .withColumn("prev_us", lag(us, 1).over(w))
       .withColumn("new_sess",
@@ -410,14 +431,25 @@ object TrainingOps {
     * 4× storage/bandwidth cut before ANN indexing at 100 TB scale. Pure
     * row-local array transform (zero shuffle); per-vector scale =
     * max |x| (floored at 1e-12 against all-zero vectors); values round
-    * half-away-from-zero to [-127, 127] — identical in Spark and DuckDB,
-    * so the gate hash-matches exactly. The codes ship stringified (the
-    * driver harness hashes scalar columns). */
+    * half-away-from-zero to [-127, 127].
+    *
+    * Rounding parity is PINNED, not corpus-lucky (r3 ADVICE):
+    *  - the display `scale` uses [[gfn.round6_exact]] (6-dp HALF_UP on the
+    *    EXACT binary double); the oracle mirrors it with
+    *    `printf('%.6f', …)` — glibc prints the correctly-rounded decimal
+    *    of the exact binary value, and a decimal 6-dp tie is not
+    *    representable in binary (x = (2k+1)/(2·10⁶) has a 5⁶ factor in
+    *    the denominator), so HALF_UP vs half-even never diverges;
+    *  - the integer codes keep plain `round(…, 0)`: at 0 dp Spark's
+    *    shortest-repr HALF_UP and DuckDB's exact-binary half-away agree
+    *    for EVERY double — k.5 IS exactly representable, so a shortest
+    *    repr and its exact value can never straddle a .5 boundary, and
+    *    both engines round exact halves away from zero. */
   def quantizeEmbeddings(emb: DataFrame): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
     emb.select(col("vec_id"),
-        round(scale, 6).as("scale"),
+        gfn.round6_exact(scale).as("scale"),
         concat_ws(",",
           transform(v, x =>
             least(greatest(round(x * lit(127.0) / scale, 0), lit(-127.0)),
@@ -517,7 +549,11 @@ object TrainingOps {
     * `max_by` (no window over the full corpus), update via
     * posexplode→avg→reassemble. A query probes only the `nprobe` nearest
     * cells. Returns the brute-force shape; recall is fixture-tested
-    * against the exact baseline (OpsSpec). */
+    * against the exact baseline (OpsSpec).
+    *
+    * EAGER (see the object scaladoc): runs the full k-means + search on
+    * call and returns a ≤ |queryIds|·k-row LocalRelation, so the three
+    * internal caches release before returning. */
   def ivfCosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
                     nprobe: Int = 3, lloydIters: Int = 3): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),

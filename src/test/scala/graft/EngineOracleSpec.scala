@@ -20,6 +20,18 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // streaming checkpoints default to the FileContext-based manager,
+      // whose every file op resolves symlinks by FORKING a `readlink`
+      // shell (hadoop RawLocalFs) — on this sandbox VM the process-spawn
+      // path intermittently wedges (observed: a StreamingSpec micro-batch
+      // stuck >15 min inside Shell.runCommand). The FileSystem-based
+      // manager does plain java.io status calls — no forks, no wedge.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      // …and the FileSystem path itself must not fork `chmod` per created
+      // file — see BareLocalFileSystem's scaladoc
+      .config("spark.hadoop.fs.file.impl", classOf[BareLocalFileSystem].getName)
+      .config("spark.hadoop.fs.file.impl.disable.cache", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -92,6 +104,25 @@ class EngineOracleSpec extends AnyFunSuite {
     val ef = e.frontier.select("url").as[String].collect().toSet
     assert(ef == o.frontier.keySet)
     assert(ef.exists(_.contains("/private/")))
+  }
+
+  test("GUARD: the politeness DuckDB oracle's unroll depth covers the " +
+       "engine fixpoint on the CURRENT demo corpus spec (r3 VERDICT #8 — " +
+       "a corpus change must not silently truncate the unrolled oracle)") {
+    // the q_crawl_polite gate corpus: SparkEntry.demoSpec with the gate's
+    // exact config (budget 2, robots on). The oracle unrolls a FIXED
+    // SparkEntry.politeOracleRounds rounds; rounds past the fixpoint are
+    // no-ops (empty sel_k → empty new_k → stable frontier), so correctness
+    // needs engine-rounds ≤ unroll — assert it with a margin of one so the
+    // no-op tail is actually exercised in the oracle too.
+    val demoPages = spark.createDataset(TestCorpus.generate(SparkEntry.demoSpec)).toDF()
+    val e = Crawler.run(spark, demoPages, CrawlConfig(seeds, filter,
+      hostBudget = 2, respectRobots = true))
+    info(s"engine fixpoint: ${e.rounds.size} rounds; oracle unrolls " +
+      s"${SparkEntry.politeOracleRounds}")
+    assert(e.rounds.size + 1 <= SparkEntry.politeOracleRounds,
+      s"politeness oracle unrolls ${SparkEntry.politeOracleRounds} rounds but " +
+        s"the engine needed ${e.rounds.size} — RAISE SparkEntry.politeOracleRounds")
   }
 
   test("crawl: seen-size cap stops at the same round as the oracle") {

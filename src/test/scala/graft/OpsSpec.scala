@@ -289,6 +289,41 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodePngDims("<html></html>".getBytes("UTF-8")).isEmpty)
   }
 
+  test("multimodal: JPEG SOF0 and GIF logical-screen dimensions are parsed " +
+       "for real across leading segments; non-media bytes fall back") {
+    def be16(b: Array[Byte], o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    // generator-side truth at the fixed layout offsets (SOI 2 + APP0 18 +
+    // DQT 69 ⇒ SOF0 marker at 89, height/width BE at 94/96), mirroring the
+    // PNG test's IHDR-offset check — independent of the parser under test
+    val jpegs = graft.corpus.TestCorpus.jpegRows(5)
+    jpegs.foreach { m =>
+      val expected = (be16(m.html, 96), be16(m.html, 94))
+      assert(Multimodal.decodeJpegDims(m.html).contains(expected), m.url)
+    }
+    assert(jpegs.map(m => be16(m.html, 96)).distinct.size > 1) // dims vary
+    val gifs = graft.corpus.TestCorpus.gifRows(5)
+    gifs.foreach { m =>
+      val expected = (le16(m.html, 6), le16(m.html, 8))
+      assert(Multimodal.decodeGifDims(m.html).contains(expected), m.url)
+    }
+    // the full dispatch picks the right parser per format
+    val all = graft.corpus.TestCorpus.mediaRows(2) ++ jpegs.take(2) ++ gifs.take(2)
+    val got = Multimodal.extractFeatures(spark.createDataset(all).toDF())
+      .collect().map(m => m.url -> (m.width, m.height)).toMap
+    jpegs.take(2).foreach(m =>
+      assert(got(m.url) == (be16(m.html, 96), be16(m.html, 94))))
+    gifs.take(2).foreach(m =>
+      assert(got(m.url) == (le16(m.html, 6), le16(m.html, 8))))
+    // negatives: truncation, wrong signature, SOS-before-SOF, html bytes
+    assert(Multimodal.decodeJpegDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Multimodal.decodeJpegDims("GIF89a-not-a-jpeg".getBytes("UTF-8")).isEmpty)
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)
+    assert(Multimodal.decodeJpegDims(sosFirst).isEmpty)
+    assert(Multimodal.decodeGifDims("<html></html>".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeGifDims("GIF89a".getBytes("UTF-8")).isEmpty) // truncated
+  }
+
   test("langId v2: full confusion matrix on a real 5-language fixture " +
        "(en/de/fr/es discriminated, gibberish → other)") {
     val docs = Seq(
@@ -328,6 +363,26 @@ class OpsSpec extends AnyFunSuite {
       (1L, 1L, 3L, 0L, 600000000L, 3.31),            // events 1,5,2 (tie by id)
       (1L, 2L, 1L, 8400000000L, 8400000000L, 4.40),  // after the 2h10m gap
       (2L, 1L, 1L, 50000000L, 50000000L, 8.80)))
+  }
+
+  test("sessionize is session-timezone independent on TIMESTAMP_NTZ input " +
+       "(r3 ADVICE: the NTZ→TIMESTAMP cast route shifted start_us by the zone offset)") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert(events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType) // the fixture this guards
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    def run(): Seq[(Long, Long, Long, Long)] =
+      T.sessionize(events, gapSeconds = 21600L)
+        .select("user_id", "session_no", "start_us", "end_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    try {
+      spark.conf.set(tzKey, "UTC")
+      val utc = run()
+      spark.conf.set(tzKey, "Asia/Hong_Kong") // +8h — a shift would move start_us
+      val hkt = run()
+      assert(utc == hkt)
+    } finally spark.conf.set(tzKey, saved)
   }
 
   test("bloom: no false negatives, plausible fpp, merge") {

@@ -77,6 +77,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(("h2", "u3")) && got(("h2", "u5")))
   }
 
+  test("END-TO-END: streamed crawl rounds (crawlDataflow fed back in BFS " +
+       "order) reproduce the batch crawler's seen set EXACTLY") {
+    implicit val sc = spark.sqlContext
+    import graft.corpus.TestCorpus
+    import graft.crawler.{CrawlConfig, Crawler}
+    val corpus = TestCorpus.generate(TestCorpus.Spec(hosts = 3, basePagesPerHost = 8))
+    val pages = spark.createDataset(corpus).toDF().cache()
+    val batch = Crawler.run(spark, pages,
+        CrawlConfig(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix))
+      .seen.select("url", "depth").as[(String, Int)].collect().toSet
+
+    val in = MemoryStream[(String, Int)]
+    val sink = nextName()
+    val q = StreamOps.crawlDataflow(in.toDF().toDF("url", "depth"), pages,
+        TestCorpus.filterPrefix)
+      .select("url", "depth")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    // drive BFS rounds: each micro-batch's NEW emissions (minus seeds —
+    // the batch crawler never re-queues a seed) become the next frontier
+    var offset = 0
+    var rounds = 0
+    in.addData((TestCorpus.seedUrl, 0))
+    q.processAllAvailable()
+    var all = spark.table(sink).as[(String, Int)].collect()
+    while (all.length > offset && rounds < 40) {
+      val next = all.drop(offset).filterNot(_._1 == TestCorpus.seedUrl)
+      offset = all.length
+      rounds += 1
+      if (next.nonEmpty) {
+        in.addData(next.toIndexedSeq: _*)
+        q.processAllAvailable()
+        all = spark.table(sink).as[(String, Int)].collect()
+      }
+    }
+    q.stop()
+    assert(all.length == all.map(_._1).distinct.length, "a url emitted twice")
+    assert(all.toSet == batch,
+      s"streaming seen (${all.length}) != batch seen (${batch.size})")
+    assert(rounds > 2, "corpus must exercise multiple micro-batch rounds")
+  }
+
   test("seenFilterWatermarked dedups within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
