@@ -260,8 +260,10 @@ object Bench {
     // indistinguishable from weather); the per-query probe value ships in
     // the artifact so the judge can verify the numbers were taken quiet
     var queryCalibs = Vector.empty[(String, Double)]
-    val queryTimes = headline.map { name =>
-      val calib = calmWindow(gate, 120000)
+    val queryTimes = headline.zipWithIndex.map { case (name, qi) =>
+      // first query waits for a real quiet window; the rest only re-check
+      // (bounded short) so a mid-suite wave can't eat the crawl budget
+      val calib = calmWindow(gate, if (qi == 0) 180000 else 45000)
       queryCalibs :+= (name -> BigDecimal(calib)
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       val t0 = System.nanoTime()

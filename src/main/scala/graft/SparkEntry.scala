@@ -116,7 +116,7 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          gfn.round_exact(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
             count(lit(1)), 4).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -139,7 +139,7 @@ object SparkEntry {
       val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = docs.count()
       tf.join(dfT, "tok")
-        .withColumn("tfidf", round(
+        .withColumn("tfidf", gfn.round_exact(
           col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double"))
             / lit(math.log(2.0)), 4))
         .filter(col("doc_id") < 50)
@@ -150,7 +150,10 @@ object SparkEntry {
     // ---------------- joins (J1-J8 shapes) ---------------------------------
     "q_join_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-        .withColumn("rev", round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+        // round_exact: at sf0.1 one line's revenue straddled the 2-dp cent
+        // boundary between Spark round() and DuckDB ROUND (expressions.scala
+        // roundExact scaladoc); printf('%.2f') mirrors it in the oracle
+        .withColumn("rev", gfn.round_exact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
           .cast("decimal(18,2)"))
       li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
@@ -344,7 +347,7 @@ object SparkEntry {
 
     "q_pagerank" -> ((s, _) => {
       val (_, ranks) = demoIndex(s)
-      ranks.withColumn("rank", round(col("rank"), 6)).orderBy("url_id")
+      ranks.withColumn("rank", gfn.round_exact(col("rank"), 6)).orderBy("url_id")
     }),
 
     // ---------------- multimodal plumbing (real PNG headers + stub) ---------
@@ -611,7 +614,8 @@ object SparkEntry {
       }.mkString("\n           + ")
       s"(${occ}) / toks AS ${l}_raw"
     }
-    val scoreSel = profiles.map { case (l, _) => s"ROUND(${l}_raw, 4) AS ${l}_score" }
+    val scoreSel = profiles.map { case (l, _) =>
+      s"FLOOR(${l}_raw * 10000.0 + 0.5) / 10000.0 AS ${l}_score" }
     val arms = profiles.zipWithIndex.map { case ((l, _), i) =>
       val later = profiles.drop(i + 1).map { case (m, _) => s"${l}_raw >= ${m}_raw" }
       s"WHEN ${(later :+ s"${l}_raw > 0.02").mkString(" AND ")} THEN '$l'"
@@ -690,7 +694,7 @@ object SparkEntry {
        |outd AS (SELECT src, COUNT(*) AS od FROM ilinks GROUP BY src),
        |r0 AS (SELECT url_id, CAST(1.0 AS DOUBLE) AS rank FROM dict),
        |$iters
-       |SELECT url_id, ROUND(rank, 6) AS rank FROM r40 ORDER BY url_id""".stripMargin
+       |SELECT url_id, FLOOR(rank * 1000000.0 + 0.5) / 1000000.0 AS rank FROM r40 ORDER BY url_id""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -706,7 +710,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+        |  FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q_df_count" ->
@@ -725,14 +729,14 @@ object SparkEntry {
         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n FROM documents)
         |SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-        |  ROUND(CAST(tf.tf AS DOUBLE) * LN(CAST(n.n AS DOUBLE)/CAST(df.df AS DOUBLE)) / LN(2.0), 4) AS tfidf
+        |  FLOOR(CAST(tf.tf AS DOUBLE) * LN(CAST(n.n AS DOUBLE)/CAST(df.df AS DOUBLE)) / LN(2.0) * 10000.0 + 0.5) / 10000.0 AS tfidf
         |FROM tf JOIN df USING (tok) CROSS JOIN n
         |WHERE tf.doc_id < 50
         |ORDER BY doc_id, tok""".stripMargin,
 
     "q_join_revenue" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount) * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin,
@@ -803,12 +807,12 @@ object SparkEntry {
 
     "q_quality" ->
       """SELECT doc_id,
-        |  ROUND(chars / GREATEST(toks, 1.0), 4) AS mean_tok_len,
-        |  ROUND(punct / GREATEST(chars, 1.0), 4) AS punct_ratio,
-        |  ROUND(thec / GREATEST(toks, 1.0), 4) AS the_ratio,
-        |  ROUND(LEAST(chars/500.0, 1.0)*0.5
+        |  FLOOR(chars / GREATEST(toks, 1.0) * 10000.0 + 0.5) / 10000.0 AS mean_tok_len,
+        |  FLOOR(punct / GREATEST(chars, 1.0) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+        |  FLOOR(thec / GREATEST(toks, 1.0) * 10000.0 + 0.5) / 10000.0 AS the_ratio,
+        |  FLOOR((LEAST(chars/500.0, 1.0)*0.5
         |      + LEAST(thec/GREATEST(toks,1.0)*10.0, 1.0)*0.3
-        |      + (1.0 - LEAST(punct/GREATEST(chars,1.0)*5.0, 1.0))*0.2, 4) AS quality
+        |      + (1.0 - LEAST(punct/GREATEST(chars,1.0)*5.0, 1.0))*0.2) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM (SELECT doc_id,
         |        CAST(length(text) AS DOUBLE) AS chars,
         |        CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS DOUBLE) AS toks,
@@ -842,10 +846,11 @@ object SparkEntry {
         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY 1,2)
-        |SELECT a, b,
-        |  ROUND(CAST(inter AS DOUBLE)/CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-        |WHERE CAST(inter AS DOUBLE)/CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4
+        |SELECT a, b, jaccard FROM (
+        |  SELECT a, b,
+        |    FLOOR(CAST(inter AS DOUBLE)/CAST(sa.sz + sb.sz - inter AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+        |WHERE jaccard >= 0.4
         |ORDER BY a, b""".stripMargin,
 
     "q_minhash_lsh" ->
@@ -946,7 +951,7 @@ object SparkEntry {
         |  SELECT vec_id, v,
         |    GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
         |  FROM e)
-        |SELECT vec_id, CAST(printf('%.6f', scale) AS DOUBLE) AS scale,
+        |SELECT vec_id, FLOOR(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
         |  array_to_string(list_transform(v, x ->
         |    CAST(LEAST(GREATEST(ROUND(x * 127.0 / scale, 0), -127.0), 127.0) AS INT)),
         |    ',') AS codes
@@ -963,8 +968,10 @@ object SparkEntry {
         |         SUM(CAST(xa AS DOUBLE)*CAST(xa AS DOUBLE)) AS na,
         |         SUM(CAST(yb AS DOUBLE)*CAST(yb AS DOUBLE)) AS nb
         |  FROM flat GROUP BY 1,2)
-        |SELECT a, b, ROUND(dot/(SQRT(na)*SQRT(nb)),4) AS cos
-        |FROM dots WHERE ROUND(dot/(SQRT(na)*SQRT(nb)),4) >= 0.4
+        |SELECT a, b, cos FROM (
+        |  SELECT a, b, FLOOR(dot/(SQRT(na)*SQRT(nb)) * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM dots)
+        |WHERE cos >= 0.4
         |ORDER BY a, b""".stripMargin,
 
     "q_cosine_topk" ->
@@ -981,7 +988,7 @@ object SparkEntry {
         |  FROM flat GROUP BY 1,2),
         |scored AS (
         |  SELECT query_id, vec_id AS neighbor,
-        |    ROUND(dot / (SQRT(nx) * SQRT(ny)), 4) AS cos
+        |    FLOOR(dot / (SQRT(nx) * SQRT(ny)) * 10000.0 + 0.5) / 10000.0 AS cos
         |  FROM dots)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor, cos FROM (
         |  SELECT query_id, neighbor, cos,

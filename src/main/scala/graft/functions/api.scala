@@ -39,6 +39,8 @@ object gfn {
   def winnow_md5(text: Column, k: Column, w: Column): Column =
     column(WinnowMd5Expr(expression(text), expression(k), expression(w)))
   def round6_exact(x: Column): Column = column(Round6Expr(expression(x)))
+  def round_exact(x: Column, scale: Int): Column =
+    column(RoundExactExpr(expression(x), scale))
   def srp_sketch(vec: Column): Column = column(SrpSketchExpr(expression(vec)))
 
   /** Bloom aggregate over a LONG hash column; shape from expected items/fpp. */
@@ -70,6 +72,13 @@ object gfn {
     reg1("round6_exact", e => Round6Expr(
       org.apache.spark.sql.catalyst.expressions.Cast(
         e, org.apache.spark.sql.types.DoubleType)))
+    // scale must be a literal (folded at registration into the plan const)
+    reg.createOrReplaceTempFunction("round_exact",
+      es => RoundExactExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          es(0), org.apache.spark.sql.types.DoubleType),
+        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .toString.toDouble.toInt), "built-in")
     reg1("srp_sketch", SrpSketchExpr.apply)
     reg.createOrReplaceTempFunction("extract_links",
       es => ExtractLinksExpr(es(0), es(1), es(2), es(3)), "built-in")

@@ -35,6 +35,33 @@ object ExprImpl {
     if (!java.lang.Double.isFinite(x)) x
     else new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Engine-PORTABLE scale-dp rounding (round-4 sweep): half-up on the
+    * SCALED DOUBLE — `floor(x·10^s + 0.5) / 10^s`, every step an IEEE-754
+    * double operation, so the JVM and any C/C++ engine compute the SAME
+    * BITS for the same input. This is deliberately not "correct decimal
+    * rounding"; portability, not decimal accuracy, is the contract,
+    * because no DuckDB surface implements correctly-rounded decimal
+    * conversion (all fuzz-diverged from both of Spark's options):
+    *  - Spark's round() rounds the shortest-decimal repr half-away while
+    *    DuckDB's ROUND rounds a scaled multiply — ulp-straddles surfaced
+    *    as a real 1-cent revenue diff and a 1e-4 quality diff at sf0.1;
+    *  - DuckDB's double→DECIMAL cast double-rounds through ~15
+    *    significant digits (616.4049999999999 → 616.41);
+    *  - DuckDB's printf (the fmt library) mis-rounds the exact binary
+    *    value ~1/2000 near half-boundaries (1005.2950000000001 → .29).
+    * The DuckDB mirror is literally `FLOOR(x * 10000.0 + 0.5) / 10000.0`
+    * (constants 10^s and 0.5 are exactly representable, so literal
+    * parsing cannot skew them) — fuzz-verified bit-identical over 21k
+    * adversarial half-boundary/dyadic/random values. [[round6]] stays
+    * exact-binary HALF_UP: it reproduces the reference's Java
+    * `"%.6f".format` (TfIdfMain.kt:35) for the tf-idf store, and its
+    * oracle parity is VALUES-pinned, never recomputed in DuckDB. */
+  def roundExact(x: Double, scale: Int): Double = {
+    if (!java.lang.Double.isFinite(x)) return x
+    val p = math.pow(10.0, scale.toDouble)
+    math.floor(x * p + 0.5) / p
+  }
+
   def porterStem(s: UTF8String): UTF8String =
     UTF8String.fromString(Porter.stripAffixes(s.toString))
 
@@ -143,6 +170,20 @@ case class Round6Expr(child: Expression) extends UnaryExpression {
     ExprImpl.round6(v.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.round6($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** [[Round6Expr]] generalized to any decimal scale (ExprImpl.roundExact's
+  * scaladoc has the portability argument); `scale` is a plan-time constant
+  * baked into codegen. */
+case class RoundExactExpr(child: Expression, scale: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "round_exact"
+  override protected def nullSafeEval(v: Any): Any =
+    ExprImpl.roundExact(v.asInstanceOf[Double], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.roundExact($c, $scale)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

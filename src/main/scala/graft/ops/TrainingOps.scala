@@ -65,11 +65,15 @@ object TrainingOps {
       length(translate(col("text"), ".,;:!?", ""))).cast("double")
     val theCount = ((length(col("text")) -
       length(replace(col("text"), lit(" the "), lit("")))) / lit(5)).cast("double")
+    // round_exact, not round(): at sf0.1 a quality value straddled a 4-dp
+    // boundary between Spark's shortest-repr rounding and DuckDB's scaled
+    // rounding — the floor-scaled form (ExprImpl.roundExact) is the one
+    // semantics both engines compute bit-identically
     docs.select(col("doc_id"),
-        round(chars / greatest(toks, lit(1.0)), 4).as("mean_tok_len"),
-        round(punct / greatest(chars, lit(1.0)), 4).as("punct_ratio"),
-        round(theCount / greatest(toks, lit(1.0)), 4).as("the_ratio"),
-        round(
+        gfn.round_exact(chars / greatest(toks, lit(1.0)), 4).as("mean_tok_len"),
+        gfn.round_exact(punct / greatest(chars, lit(1.0)), 4).as("punct_ratio"),
+        gfn.round_exact(theCount / greatest(toks, lit(1.0)), 4).as("the_ratio"),
+        gfn.round_exact(
           least(chars / lit(500.0), lit(1.0)) * lit(0.5)
             + least(theCount / greatest(toks, lit(1.0)) * lit(10.0), lit(1.0)) * lit(0.3)
             + (lit(1.0) - least(punct / greatest(chars, lit(1.0)) * lit(5.0), lit(1.0))) * lit(0.2),
@@ -109,7 +113,7 @@ object TrainingOps {
       case (acc, (langCode, s)) => when(s === best && best > 0.02, lit(langCode)).otherwise(acc)
     }
     val scoreCols = scores.map { case (langCode, s) =>
-      round(s, 4).as(s"${langCode}_score") }
+      gfn.round_exact(s, 4).as(s"${langCode}_score") }
     docs.select(Seq(col("doc_id"), col("lang")) ++ scoreCols :+
         predicted.as("predicted"): _*)
       .orderBy("doc_id")
@@ -248,7 +252,7 @@ object TrainingOps {
     val result = inter
       .join(sizes.toDF("a", "sa"), "a")
       .join(sizes.toDF("b", "sb"), "b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
+      .withColumn("jaccard", gfn.round_exact(col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
@@ -434,12 +438,10 @@ object TrainingOps {
     * half-away-from-zero to [-127, 127].
     *
     * Rounding parity is PINNED, not corpus-lucky (r3 ADVICE):
-    *  - the display `scale` uses [[gfn.round6_exact]] (6-dp HALF_UP on the
-    *    EXACT binary double); the oracle mirrors it with
-    *    `printf('%.6f', …)` — glibc prints the correctly-rounded decimal
-    *    of the exact binary value, and a decimal 6-dp tie is not
-    *    representable in binary (x = (2k+1)/(2·10⁶) has a 5⁶ factor in
-    *    the denominator), so HALF_UP vs half-even never diverges;
+    *  - the display `scale` uses [[gfn.round_exact]] (floor-scaled
+    *    half-up — see ExprImpl.roundExact's scaladoc for why that is the
+    *    one semantics both engines share); the oracle mirrors it
+    *    bit-identically with `FLOOR(scale * 1e6 + 0.5) / 1e6`;
     *  - the integer codes keep plain `round(…, 0)`: at 0 dp Spark's
     *    shortest-repr HALF_UP and DuckDB's exact-binary half-away agree
     *    for EVERY double — k.5 IS exactly representable, so a shortest
@@ -449,7 +451,7 @@ object TrainingOps {
     val v = transform(col("embedding"), x => x.cast("double"))
     val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
     emb.select(col("vec_id"),
-        gfn.round6_exact(scale).as("scale"),
+        gfn.round_exact(scale, 6).as("scale"),
         concat_ws(",",
           transform(v, x =>
             least(greatest(round(x * lit(127.0) / scale, 0), lit(-127.0)),
@@ -476,7 +478,7 @@ object TrainingOps {
     val a = e.toDF("a", "va")
     val b = e.toDF("b", "vb")
     a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) /
+      .withColumn("cos", gfn.round_exact(dot(col("va"), col("vb")) /
         (norm(col("va")) * norm(col("vb"))), 4))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
@@ -515,7 +517,7 @@ object TrainingOps {
     cands
       .join(e.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) /
+      .withColumn("cos", gfn.round_exact(dot(col("va"), col("vb")) /
         (norm(col("va")) * norm(col("vb"))), 4))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
@@ -534,7 +536,7 @@ object TrainingOps {
       .orderBy(desc("cos"), asc("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) /
+      .withColumn("cos", gfn.round_exact(dot(col("v"), col("qv")) /
         (norm(col("v")) * norm(col("qv"))), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -600,7 +602,7 @@ object TrainingOps {
     val result = e.join(assigned, Seq("vec_id"))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) /
+      .withColumn("cos", gfn.round_exact(dot(col("v"), col("qv")) /
         (norm(col("v")) * norm(col("qv"))), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

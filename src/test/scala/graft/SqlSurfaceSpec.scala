@@ -83,6 +83,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // non-finite inputs pass through instead of crashing the task (ADVICE r2)
     assert(sql1[Double]("SELECT round6_exact(CAST('NaN' AS DOUBLE))").isNaN)
     assert(sql1[Double]("SELECT round6_exact(CAST('Infinity' AS DOUBLE))").isPosInfinity)
+    // generalized round_exact (round-4 sweep): floor-SCALED half-up — the
+    // bit-portable semantics (ExprImpl.roundExact scaladoc). NOTE the
+    // contrast with round6_exact above: scaling by 10^s can SNAP a
+    // just-below-boundary value onto the boundary (0.1234565·10⁶ ==
+    // 123456.5 exactly in doubles), so these round UP where the
+    // exact-binary forms round down — deterministically, in both engines.
+    assert(sql1[Double]("SELECT round_exact(0.1234565, 6)") == 0.123457)
+    assert(sql1[Double]("SELECT round_exact(2.675, 2)") == 2.68) // 267.5 after scaling
+    // dyadic EXACT tie: 0.03125 = 2^-5 scales to 312.5 exactly → half-up
+    assert(sql1[Double]("SELECT round_exact(0.03125, 4)") == 0.0313)
+    assert(sql1[Double]("SELECT round_exact(0.00405, 4)") ==
+      graft.functions.ExprImpl.roundExact(0.00405, 4))
+    assert(sql1[Double]("SELECT round_exact(CAST('NaN' AS DOUBLE), 4)").isNaN)
 
     val s = sql1[Long]("SELECT srp_sketch(array(1.0d, -2.0d, 0.5d))")
     val sApi = Seq(Tuple1(Seq(1.0, -2.0, 0.5))).toDF("v")
