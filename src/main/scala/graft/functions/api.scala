@@ -38,6 +38,10 @@ object gfn {
     column(WinnowExpr(expression(text), expression(k), expression(w)))
   def winnow_md5(text: Column, k: Column, w: Column): Column =
     column(WinnowMd5Expr(expression(text), expression(k), expression(w)))
+  def minhash_sigs(shingles: Column, k: Int): Column =
+    column(MinhashSigsExpr(expression(shingles), k))
+  def trigram_shingles(text: Column): Column =
+    column(TrigramShinglesExpr(expression(text)))
   def round6_exact(x: Column): Column = column(Round6Expr(expression(x)))
   def round_exact(x: Column, scale: Int): Column =
     column(RoundExactExpr(expression(x), scale))
@@ -88,5 +92,10 @@ object gfn {
       es => WinnowExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("winnow_md5",
       es => WinnowMd5Expr(es(0), es(1), es(2)), "built-in")
+    reg1("trigram_shingles", TrigramShinglesExpr.apply)
+    reg.createOrReplaceTempFunction("minhash_sigs",
+      es => MinhashSigsExpr(es(0),
+        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .toString.toDouble.toInt), "built-in")
   }
 }

@@ -68,6 +68,106 @@ object TextExprImpl {
     out
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex32(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** unsigned lexicographic byte compare (16-byte digests). */
+  private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Distinct word-trigram shingles of a text, first-occurrence order —
+    * value-identical to
+    * `array_distinct(transform(sequence(0, n-3), i => concat_ws(" ",
+    * toks[i+1], toks[i+2], toks[i+3])))` over `filter(split(text, " "),
+    * _ != "")`, in ONE pass. Exists because the built-in form is a
+    * performance trap: CollapseProject inlines the `toks` alias into the
+    * per-element lambda, so every element_at re-tokenizes the WHOLE text
+    * (O(tokens²) per doc — measured 5 s single-threaded for the sf0.1
+    * corpus when a pushed-down `size(shingles) > 0` predicate landed
+    * below the repartition), and higher-order functions evaluate
+    * interpreted with no common-subexpression elimination. */
+  def trigramShingles(text: UTF8String): ArrayData = {
+    val raw = text.toString.split(' ')
+    val toks = new Array[String](raw.length)
+    var n = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { toks(n) = raw(i); n += 1 }
+      i += 1
+    }
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    i = 0
+    while (i + 2 < n) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature kernel: k salted-md5 minima over a shingle array in
+    * ONE pass. Value-identical to
+    * `array_min(transform(shingles, s => md5(concat(s, '#salt<i>'))))` per
+    * salt i — lowercase-hex encoding is monotonic in the digest bytes, so
+    * min-of-hex-strings ≡ unsigned min-of-digests — and to the DuckDB
+    * oracle's `MIN(md5(shingle || '#salt<i>'))`. Exists because the
+    * transform/md5 route pays interpreted higher-order-function dispatch
+    * plus a fresh MessageDigest PER ELEMENT: measured 7.7 s for the 15M
+    * hashes of the sf0.1 corpus — the entire q_minhash_lsh wall-time
+    * budget — vs a single tight loop here. */
+  def minhashSigs(shingles: ArrayData, k: Int): ArrayData = {
+    val md = md5Local.get()
+    val salts = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < k) {
+      salts(i) = s"#salt$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val mins = new Array[Array[Byte]](k)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val s = shingles.getUTF8String(j).getBytes
+        var i2 = 0
+        while (i2 < k) {
+          md.reset()
+          md.update(s)
+          md.update(salts(i2))
+          val d = md.digest()
+          if (mins(i2) == null || ltUnsigned(d, mins(i2))) mins(i2) = d
+          i2 += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) { out(i) = if (mins(i) == null) null else hex32(mins(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   private def splitmix(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -188,6 +288,34 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
     TextExprImpl.simhashMd5(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.simhashMd5($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `trigram_shingles(text) → ARRAY<STRING>` — distinct word-trigram
+  * shingles, single-pass (see TextExprImpl.trigramShingles for why the
+  * transform/element_at form is quadratic after projection collapse). */
+case class TrigramShinglesExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "trigram_shingles"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprImpl.trigramShingles(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.trigramShingles($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_sigs(shingles ARRAY<STRING>, k) → ARRAY<STRING>` — the k
+  * salted-md5 MinHash signature minima, single-pass (see
+  * TextExprImpl.minhashSigs for the parity + performance argument). */
+case class MinhashSigsExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sigs"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprImpl.minhashSigs(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.minhashSigs($c, $k)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

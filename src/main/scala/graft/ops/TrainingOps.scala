@@ -43,6 +43,21 @@ object TrainingOps {
   def wsTokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Spread a small-but-COMPUTE-HEAVY input across the cluster. A highly
+    * compressed tiny file scans as ONE task, so every row-local kernel
+    * downstream (shingling, k salted-md5 minima, rolling-hash winnowing)
+    * runs on one core until the first shuffle — measured as the entire
+    * q_minhash_lsh wall (5+ s of single-threaded md5 at sf0.1, while 31
+    * cores idled). Repartitioning text that compresses 10:1 costs a few
+    * MB of shuffle against minutes of serial CPU — the same trade a real
+    * cluster makes for heavily-compressed web text (a 100 TB corpus in
+    * 1 GB gzip'd WARC segments has exactly this shape). No-op when the
+    * scan is already at least half as parallel as the cluster. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   // ------------------------------------------------------------------
   // text analysis
   // ------------------------------------------------------------------
@@ -212,21 +227,16 @@ object TrainingOps {
   }
 
   /** distinct word-trigram shingles per doc as one row-local ARRAY column —
-    * ZERO shuffle: shingles are a pure function of the token array, built
-    * exactly like the DuckDB oracle's `list_transform` (a lead()-window
-    * formulation would shuffle+sort every token in the corpus for a
-    * row-local computation). */
+    * ZERO shuffle: shingles are a pure function of the text (a
+    * lead()-window formulation would shuffle+sort every token in the
+    * corpus for a row-local computation). Built by the single-pass
+    * codegen'd [[gfn.trigram_shingles]] kernel, value-identical to the
+    * DuckDB oracle's `list_distinct(list_transform(…))` — the built-in
+    * transform/element_at form turned quadratic once CollapseProject
+    * inlined the token alias (TextExprImpl.trigramShingles scaladoc). */
   def shingleArrays(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(
-          when(size(col("toks")) >= 3,
-            transform(sequence(lit(0), size(col("toks")) - 3),
-              i => concat_ws(" ",
-                element_at(col("toks"), i + 1),
-                element_at(col("toks"), i + 2),
-                element_at(col("toks"), i + 3))))
-          .otherwise(array().cast("array<string>"))).as("shingles"))
+    spread(docs).select(col("doc_id"),
+      gfn.trigram_shingles(col("text")).as("shingles"))
 
   /** distinct word-trigram shingles per doc (doc_id, shingle) — the shared
     * building block of the Jaccard and MinHash paths. */
@@ -269,15 +279,18 @@ object TrainingOps {
 
   /** MinHash signatures: k md5-salted lexicographic-min hashes over the
     * shingle set (md5 is portable to the DuckDB oracle; at production
-    * scale swap for xxhash64 — same plan shape). Computed ROW-LOCALLY as
-    * `array_min(transform(shingles, …))` — zero shuffle; identical values
-    * to the oracle's GROUP-BY-min over exploded shingles. */
+    * scale swap for xxhash64 — same plan shape). Computed ROW-LOCALLY in
+    * ONE pass by the codegen'd [[gfn.minhash_sigs]] kernel — zero
+    * shuffle; identical values to the oracle's GROUP-BY-min over
+    * exploded shingles, and ~25× the throughput of the previous
+    * `array_min(transform(…, md5(…)))` form (higher-order functions
+    * evaluate their lambdas interpreted, with a fresh MessageDigest per
+    * element — that was the whole q_minhash_lsh budget at sf0.1). */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i =>
-      array_min(transform(col("shingles"),
-        s => md5(concat(s, lit(s"#salt$i"))))).as(s"mh$i"))
+    val mins = (0 until k).map(i => element_at(col("__sigs"), i + 1).as(s"mh$i"))
     shingleArrays(docs)
       .filter(size(col("shingles")) > 0) // docs with no shingle have no sig
+      .select(col("doc_id"), gfn.minhash_sigs(col("shingles"), k).as("__sigs"))
       .select(col("doc_id") +: mins: _*)
   }
 
@@ -316,7 +329,7 @@ object TrainingOps {
   def simhashes(docs: DataFrame, portable: Boolean = true): DataFrame = {
     val fp = if (portable) gfn.simhash_md5(wsTokens(col("text")))
              else gfn.simhash(wsTokens(col("text")))
-    docs.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    spread(docs).select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`, bucketed
@@ -328,7 +341,7 @@ object TrainingOps {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    portable: Boolean = true,
                    maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
-    val sims = docs.select(col("doc_id"),
+    val sims = spread(docs).select(col("doc_id"),
       (if (portable) gfn.simhash_md5(wsTokens(col("text")))
        else gfn.simhash(wsTokens(col("text")))).as("sh"))
     simhashPairsFromFps(sims, maxHamming, maxBucketDf)
@@ -378,7 +391,7 @@ object TrainingOps {
     // fingerprint posting list: ~|text|/w longs per doc (≪ text bytes) but
     // costs a full rolling-hash pass to build — persist for the hot-key
     // scan + both join sides
-    val posting = docs.select(col("doc_id"), explode(fpsExpr).as("fp")).persist()
+    val posting = spread(docs).select(col("doc_id"), explode(fpsExpr).as("fp")).persist()
     val fp = capHotKeys(posting, maxFpDf, "fp")
     val l = fp.toDF("a", "fp")
     val r = fp.toDF("b", "fp")
@@ -473,7 +486,7 @@ object TrainingOps {
     * sides filter on the ROUNDED cosine so boundary values agree. For
     * corpora past ~10⁶ vectors use [[cosineDupPairsLsh]]. */
   def cosineDupPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"),
+    val e = spread(emb).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val a = e.toDF("a", "va")
     val b = e.toDF("b", "vb")
@@ -501,7 +514,7 @@ object TrainingOps {
     // column pruning) is the right trade — caching the full corpus is the
     // thing that does NOT survive a 100× scale-up, and a persist here was
     // the round-2 ADVICE leak (never unpersisted in a long-lived session)
-    val e = emb.select(col("vec_id"),
+    val e = spread(emb).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val fps = e.select(col("vec_id").as("doc_id"), gfn.srp_sketch(col("v")).as("sh"))
     // TWO-STAGE block-pair candidate keys (round-2 ADVICE): single-block
@@ -528,7 +541,7 @@ object TrainingOps {
     * table (the exact baseline an ANN variant must approximate). The query
     * side is broadcast; the scan side never shuffles. */
   def bruteForceCosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"),
+    val e = spread(emb).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -558,7 +571,7 @@ object TrainingOps {
     * internal caches release before returning. */
   def ivfCosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
                     nprobe: Int = 3, lloydIters: Int = 3): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"),
+    val e = spread(emb).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v")).persist()
 
     def meanByCell(assigned: DataFrame): DataFrame =

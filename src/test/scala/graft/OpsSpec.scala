@@ -112,6 +112,49 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(pairs.head._3 - math.rint(5.0 / 7.0 * 10000) / 10000) < 1e-12)
   }
 
+  test("EQUIVALENCE GUARD: the single-pass shingle + minhash kernels are " +
+       "value-identical to the built-in transform/md5 forms they replaced") {
+    // the r4 perf rewrite (trigram_shingles / minhash_sigs) must not move
+    // a single value — this pins the kernels against the original
+    // higher-order-function formulations on adversarial texts (empties,
+    // repeated runs of spaces, duplicate shingles, <3 tokens, unicode)
+    val texts = Seq(
+      "", " ", "a", "a b", "a b c", "a  b   c  d", "x x x x x x",
+      "a b c a b c a b c", "the quick brown fox jumps over the lazy dog",
+      "tök ünïcode wörds tök ünïcode wörds more", "a b c d",
+      (1 to 200).map(i => s"w${i % 17}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val builtinShingles = df.select(col("doc_id"),
+        col("text"), T.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val kernelShingles = df.select(col("doc_id"),
+        gfn.trigram_shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernelShingles == builtinShingles)
+    val k = 6
+    val builtinSigs = df.select(col("doc_id"),
+        gfn.trigram_shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id") +: (0 until k).map(i =>
+        array_min(transform(col("shingles"),
+          s => md5(concat(s, lit(s"#salt$i"))))).as(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
+    val kernelSigs = T.minhashSignatures(df, k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
+    assert(kernelSigs == builtinSigs)
+    assert(kernelSigs.nonEmpty && kernelSigs.values.forall(_.forall(_.length == 32)))
+  }
+
   test("minhash LSH finds exact dup and skips unrelated") {
     val docs = Seq(
       (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
