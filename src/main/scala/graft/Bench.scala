@@ -60,6 +60,13 @@ object Bench {
       // at 3 cores regardless of cluster size. Right-size input splits so
       // scan parallelism tracks the core count.
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // local-FS hygiene for the snapshot-mode crawl: hadoop's default
+      // local FS forks a `chmod` per created file (64+ files/round) and
+      // double-renames through the v1 committer — pure serial tax on a
+      // local snapshot store (BareLocalFileSystem scaladoc)
+      .config("spark.hadoop.fs.file.impl", classOf[graft.BareLocalFileSystem].getName)
+      .config("spark.hadoop.fs.file.impl.disable.cache", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -214,7 +221,33 @@ object Bench {
       repPairs.map(_._1), repPairs.map(_._2))
   }
 
+  /** Calibration in a FRESH tiny JVM: the in-process probe self-biases
+    * ~2.5× inside a loaded 32-thread Spark session (measured: in-JVM 2.5-
+    * 3.2 s while the process-external hostprobe read a quiet 1.2 — heap
+    * layout + GC + cache pressure, not host steal), which made the gate
+    * unpassable exactly when it mattered. A 512 MB child with no Spark
+    * reproduces the standalone probe's scale; JVM startup adds ~0.3 s of
+    * wall but zero bias to the measured loop. */
+  private def calibrateForkedSec(): Double = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(java, "-Xmx512m", "-XX:ActiveProcessorCount=1",
+      "-cp", System.getProperty("java.class.path"), "graft.Bench", "__calib")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    proc.waitFor()
+    out.linesIterator.find(_.startsWith("CALIB"))
+      .map(_.split(" ")(1).toDouble)
+      .getOrElse(calibrateSec()) // fork failed: fall back to in-JVM
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 1 && args(0) == "__calib") {
+      calibrateSec() // JIT warm + calibArr init — the cold pass is not the host
+      println(f"CALIB ${calibrateSec()}%.3f")
+      return
+    }
     if (args.length >= 5 && args(0) == "__crawl") {
       crawlChild(args(1).toInt, args(2), args(3).toInt, args(4).toLong,
         if (args.length >= 6) args(5) else "mem")
@@ -233,10 +266,10 @@ object Bench {
       * pure steal. Returns the last probe value. */
     def calmWindow(gateSec: Double, maxWaitMs: Long): Double = {
       val t0 = System.currentTimeMillis()
-      var c = calibrateSec()
+      var c = calibrateForkedSec()
       while (c > gateSec && System.currentTimeMillis() - t0 < maxWaitMs) {
         Thread.sleep(15000)
-        c = calibrateSec()
+        c = calibrateForkedSec()
       }
       c
     }
@@ -260,17 +293,23 @@ object Bench {
     // indistinguishable from weather); the per-query probe value ships in
     // the artifact so the judge can verify the numbers were taken quiet
     var queryCalibs = Vector.empty[(String, Double)]
+    var queryWarm = Vector.empty[(String, Double)]
     val queryTimes = headline.zipWithIndex.map { case (name, qi) =>
       // first query waits for a real quiet window; the rest only re-check
       // (bounded short) so a mid-suite wave can't eat the crawl budget
       val calib = calmWindow(gate, if (qi == 0) 180000 else 45000)
       queryCalibs :+= (name -> BigDecimal(calib)
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark0, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> BigDecimal((System.nanoTime() - t0) / 1e9)
-        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark0, sfDir).count()
+        catch { case _: Throwable => -1L }
+        BigDecimal((System.nanoTime() - t0) / 1e9)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val cold = once() // includes this plan's whole-stage codegen compile
+      queryWarm :+= (name -> once()) // steady-state serving number
+      name -> cold
     }
 
     // ---- bench corpus (hash-bucket partition layout for DPP) --------------
@@ -357,6 +396,8 @@ object Bench {
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val calibsJson = queryCalibs
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val warmJson = queryWarm
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val total = queryTimes.map(_._2).sum
       s"""{"metric":"urls_fetched_deduped_per_sec_local$nHigh","value":${f(upsHigh)},""" +
       s""""unit":"urls/sec","headline_total_sec":${f(total)},""" +
@@ -368,6 +409,10 @@ object Bench {
       s""""scaling_efficiency":${f(efficiency)},""" +
       s""""queries":$qs,""" +
       s""""query_calib_secs":$calibsJson,""" +
+      // warm = 2nd consecutive run (plan-cache + codegen hot) — the
+      // steady-state cost a long-lived session pays; the `queries` map
+      // keeps the cold first run (comparable to the r1-r3 protocol)
+      s""""queries_warm":$warmJson,""" +
       s""""rep_walls_local$nLow":${arr(wallsLow)},"rep_walls_local$nHigh":${arr(wallsHigh)},""" +
       s""""rep_cpus_local$nLow":${arr(cpusLow)},"rep_cpus_local$nHigh":${arr(cpusHigh)},""" +
       s""""calib_secs":${arr(calibs)},""" +

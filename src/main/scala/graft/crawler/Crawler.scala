@@ -332,9 +332,24 @@ object Crawler {
             newSeen.write.mode("overwrite").parquet(deltaPath)
             seenDeltaPaths = seenDeltaPaths :+ deltaPath
             val back = spark.read.parquet(deltaPath)
-            val lin = back.groupBy(spark_partition_id().as("p")).count()
-              .collect().map(r => PartitionLineage(r.getInt(0), r.getLong(1)))
-              .sortBy(_.partition).toVector
+            // per-partition lineage straight from the written parquet
+            // FOOTERS — driver-side metadata reads. The previous
+            // groupBy(spark_partition_id) recount was a full extra Spark
+            // job per round: pure snapshot-mode tax (the round-4 bench
+            // measured resumable mode at 2.8× memory mode; this and the
+            // per-file chmod forks were the serial parts)
+            val hconf = spark.sessionState.newHadoopConf()
+            val dp = new org.apache.hadoop.fs.Path(deltaPath)
+            val dfs = dp.getFileSystem(hconf)
+            val lin = dfs.listStatus(dp)
+              .filter(_.getPath.getName.startsWith("part-"))
+              .sortBy(_.getPath.getName).zipWithIndex
+              .map { case (st, i) =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromStatus(st, hconf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try PartitionLineage(i, r.getRecordCount) finally r.close()
+              }.toVector
             (back, lin)
           case None =>
             // LAZY checkpoint: the statsRow aggregation below materializes
