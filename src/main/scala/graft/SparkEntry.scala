@@ -248,6 +248,13 @@ object SparkEntry {
 
     "q_minhash_lsh" -> ((s, d) => T.minhashLshPairs(t(s, d, "documents"))),
 
+    // near-dup CLUSTERS: connected components (HashMin propagation) over
+    // the Jaccard pair graph — keeper = min doc_id per component; the
+    // oracle recomputes the same components with a recursive
+    // transitive-closure CTE over the identical pair list
+    "q_dedup_clusters" -> ((s, d) =>
+      T.dupClusters(T.jaccardPairs(t(s, d, "documents"), threshold = 0.4))),
+
     "q_simhash" -> ((s, d) => T.simhashes(t(s, d, "documents"))),
 
     "q_simhash_pairs" -> ((s, d) =>
@@ -377,6 +384,7 @@ object SparkEntry {
     // full-probe IVF ≡ brute force (every cell probed ⇒ every vector
     // scored ⇒ identical top-k), so it shares the exact oracle verbatim
     "q_ann_fullprobe" -> oracleSqlBase("q_cosine_topk"),
+    "q_dedup_clusters" -> dedupClustersOracleSql,
     "q_crawl_seen" -> crawlSeenOracleSql,
     "q_pagerank" -> pagerankOracleSql,
     "q_crawl_polite" -> crawlPoliteOracleSql,
@@ -400,6 +408,28 @@ object SparkEntry {
   // --------------------------------------------------------------------
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** q_dedup_clusters oracle: the engine's HashMin connected components
+    * recomputed INDEPENDENTLY as a recursive transitive-closure CTE over
+    * the IDENTICAL pair list (the q_jaccard_pairs oracle embedded as a
+    * named subquery, ORDER BY stripped): cluster_id(v) = min over
+    * everything reachable from v (including v). Transitive closure is
+    * O(V·E) — fine at oracle scale; the engine side is the scalable
+    * label-propagation form. */
+  private lazy val dedupClustersOracleSql: String = {
+    val jp = oracleSqlBase("q_jaccard_pairs").replace("\nORDER BY a, b", "")
+    s"""WITH RECURSIVE jp AS (
+       |$jp
+       |),
+       |edges(src, dst) AS (
+       |  SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
 
   /** q_serp oracle: the full SERP (crawl → index → 40-iteration PageRank →
     * query scoring → top-50) computed by the INDEPENDENT sequential

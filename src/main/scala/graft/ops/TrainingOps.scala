@@ -322,6 +322,56 @@ object TrainingOps {
     out
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by HashMin
+    * label propagation — every doc in a component labels itself with the
+    * component's MINIMUM doc_id (the canonical keeper). This is the step
+    * an actual dedup pipeline runs after candidate-pair generation:
+    * near-duplication is transitive in practice (A≈B≈C), so keeping
+    * "one of each pair" over-deletes; clusters give one keeper per
+    * component.
+    *
+    * Scale shape: label propagation is the standard shared-nothing CC —
+    * per iteration one join + one map-side-combinable min-aggregate, all
+    * hash-partitioned on the vertex id, converging in O(component
+    * diameter) rounds. Near-dup components are tiny and shallow (they
+    * are near-cliques of a document neighborhood), so the loop runs 2-4
+    * rounds even at 10¹¹ docs; a giant chain-shaped component would be a
+    * data bug, and the `maxIters` guard turns it into an error instead
+    * of an unbounded driver loop. EAGER (object scaladoc): returns a
+    * localCheckpoint, intermediates released. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val p = pairs.select(col("a"), col("b")).persist()
+    // undirected: propagate labels across both directions of every pair
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      require(iters <= maxIters,
+        s"dupClusters did not converge in $maxIters rounds — component " +
+          "diameter exceeds the near-dup assumption; inspect the pair graph")
+      val neigh = edges.toDF("dst", "src")
+        .join(labels.toDF("src", "l"), "src")
+        .select(col("dst").as("v"), col("l").as("label"))
+      val next = labels.unionByName(neigh)
+        .groupBy("v").agg(min("label").as("label"))
+        .persist()
+      changed = next.toDF("v", "nl").join(labels, "v")
+        .filter(col("nl") =!= col("label")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    labels.unpersist(); edges.unpersist(); p.unpersist()
+    out
+  }
+
   /** SimHash near-dup fingerprints. `portable=true` (default) hashes tokens
     * with md5-lower-64 so the DuckDB oracle recomputes the fingerprint
     * bit-exactly; `portable=false` uses the faster xxhash64 kernel

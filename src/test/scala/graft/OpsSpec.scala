@@ -155,6 +155,20 @@ class OpsSpec extends AnyFunSuite {
     assert(kernelSigs.nonEmpty && kernelSigs.values.forall(_.forall(_.length == 32)))
   }
 
+  test("dupClusters: connected components with min-id keeper, transitive " +
+       "beyond direct pairs, multi-iteration convergence") {
+    // chain 1-2-3-4 (distance 3 forces >1 HashMin round), separate pair
+    // 7-6 (reversed order), singleton-free by construction
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 6L)).toDF("a", "b")
+    val got = T.dupClusters(pairs).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (6L, 6L), (7L, 6L)))
+    // non-convergence guard trips instead of looping forever
+    intercept[IllegalArgumentException] {
+      T.dupClusters(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), maxIters = 1)
+    }
+  }
+
   test("minhash LSH finds exact dup and skips unrelated") {
     val docs = Seq(
       (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
