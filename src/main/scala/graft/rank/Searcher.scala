@@ -118,10 +118,15 @@ object Searcher {
         (col("raw") / (col("len") * lit(queryLength))).as("score"))
       .cache()
 
-    val stats = norm.agg(sum("score"), count(lit(1))).head()
-    val nResults = stats.getLong(1)
-    if (nResults == 0) { norm.unpersist(); return emptyResult(spark) }
-    val meanScore = stats.getDouble(0) / (nResults * 3)
+    // meanScore (Σ score / 3n — identical arithmetic to the reference's
+    // driver-side mean) enters the plan as a BROADCAST 1-row aggregate
+    // instead of a driver collect: the whole SERP is then ONE Spark job
+    // after the word-id lookup (was three — the serving-latency lever on
+    // a batch engine, where job launch dominates at top-50 scale). The
+    // cache still deduplicates norm across its two consumers (aggregate
+    // + scoring join) inside that job.
+    val stats = norm.agg(
+      (sum("score") / (count(lit(1)) * 3)).as("mean_score"))
 
     // -- final scoring (WebController.kt:60-83) ------------------------------
     val stemsLit = typedlit(allStems)
@@ -129,13 +134,14 @@ object Searcher {
       .join(idx.maxTf, Seq("url_id"))
       .join(p.ranks, Seq("url_id"), "left")
       .join(idx.urlInfo.select("url_id", "title"), Seq("url_id"))
+      .crossJoin(broadcast(stats))
       .withColumn("cos", col("score") / col("max_tf"))
       .withColumn("pr", coalesce(col("rank"), lit(0.0)) / lit(p.maxPR * 3))
       .withColumn("title_toks", gfn.tokenize_words(col("title")))
       .withColumn("title_score",
         size(filter(stemsLit, t =>
           array_contains(col("title_toks"), t) ||
-            contains(lower(col("title")), t))) * lit(meanScore))
+            contains(lower(col("title")), t))) * col("mean_score"))
       .withColumn("total", col("cos") + col("pr") + col("title_score"))
 
     val top = scored
@@ -152,6 +158,7 @@ object Searcher {
     // joins (serpDetails) get a broadcastable local table for free
     val rows = result.collect()
     norm.unpersist()
+    if (rows.isEmpty) return emptyResult(spark) // pinned empty-SERP schema
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
