@@ -20,7 +20,8 @@ import graft.gfn
   *
   * EAGERNESS CONTRACT: the pairwise dedup ops ([[jaccardPairs]],
   * [[minhashLshPairs]], [[simhashPairsFromFps]],
-  * [[simhashPairsFromFpsTwoStage]], [[winnowPairs]]) and [[ivfCosineTopK]]
+  * [[simhashPairsFromFpsTwoStage]], [[winnowPairs]], [[dupClusters]])
+  * and [[ivfCosineTopK]]
   * are ACTIONS, not lazy transformations — constructing the result runs
   * Spark jobs on the caller's thread (the hot-key scan, an eager
   * localCheckpoint / collect that lets intermediate caches release
