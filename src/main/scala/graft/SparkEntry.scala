@@ -91,6 +91,26 @@ object SparkEntry {
       }
     }
 
+  /** profiling accessor (SerpProfile scratch main) — same memoized index. */
+  private[graft] def demoIndexForProfile(spark: SparkSession): (graft.index.IndexTables, DataFrame) =
+    demoIndex(spark)
+
+  // one Prepared per session (VERDICT r4 #2): prepare() caches the rank
+  // table and runs a 1-row max aggregate — per-QUERY re-preparation was
+  // paying that job (plus cache bookkeeping) on every serve
+  private var preparedCache: Option[(SparkSession, Searcher.Prepared)] = None
+  private def demoPrepared(spark: SparkSession): Searcher.Prepared =
+    synchronized {
+      preparedCache match {
+        case Some((s, p)) if s eq spark => p
+        case _ =>
+          val (index, ranks) = demoIndex(spark)
+          val p = Searcher.prepare(index, ranks)
+          preparedCache = Some((spark, p))
+          p
+      }
+    }
+
   /** Flagship query (driver smoke-checks rows>0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
@@ -314,8 +334,7 @@ object SparkEntry {
     }),
 
     "q_serp" -> ((s, _) => {
-      val (index, ranks) = demoIndex(s)
-      Searcher.search(s, Searcher.prepare(index, ranks), "\"hong kong\" research")
+      Searcher.search(s, demoPrepared(s), "\"hong kong\" research")
     }),
 
     "q_serp_details" -> ((s, _) => {
@@ -324,8 +343,7 @@ object SparkEntry {
       // projection stringifies the url lists (the compare harness hashes
       // values and chokes on arrays); the ARRAY form stays on serpDetails
       // and its ScalaTest fixture.
-      val (index, ranks) = demoIndex(s)
-      val prepared = Searcher.prepare(index, ranks)
+      val prepared = demoPrepared(s)
       val serp = Searcher.search(s, prepared, "research systems", topK = 10)
       Searcher.serpDetails(prepared, serp)
         .select(col("rank"), col("url_id"), col("url"), col("title"),

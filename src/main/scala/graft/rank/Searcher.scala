@@ -2,7 +2,6 @@ package graft.rank
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.gfn
 import graft.index.IndexTables
@@ -31,16 +30,35 @@ import graft.text.TextPipeline
   */
 object Searcher {
 
-  final case class Prepared(index: IndexTables, ranks: DataFrame, maxPR: Double) {
-    /** Release the cached rank table — a long-lived serving session should
-      * close() retired Prepared instances or cached plans accumulate. */
-    def close(): Unit = { ranks.unpersist(); () }
+  final case class Prepared(index: IndexTables, ranks: DataFrame, maxPR: Double,
+                            statics: DataFrame) {
+    /** Release the cached rank + statics tables — a long-lived serving
+      * session should close() retired Prepared instances or cached plans
+      * accumulate. */
+    def close(): Unit = { ranks.unpersist(); statics.unpersist(); () }
   }
 
+  /** One-time serving prep: cache the rank table, read the global max PR,
+    * and pre-join the four QUERY-INDEPENDENT per-doc dimensions
+    * (max_tf ⋈ rank ⋈ title ⋈ url) into one cached `statics` table. The
+    * per-query serve then pays ONE url_id join against statics instead of
+    * four separate joins — on a latency-bound path each extra join is a
+    * broadcast-exchange job of its own, and all four were identical across
+    * queries (the classic prepared-statement trade: do query-invariant work
+    * once). statics is index-sized (one row per doc), so at cluster scale
+    * it stays a shuffle join keyed the same way as the scoring aggregate. */
   def prepare(index: IndexTables, ranks: DataFrame): Prepared = {
     val cached = ranks.cache()
     val maxPR = cached.agg(max("rank")).head().getDouble(0)
-    Prepared(index, cached, maxPR)
+    val statics = index.maxTf
+      .join(cached, Seq("url_id"), "left")
+      .join(index.urlInfo.select("url_id", "title"), Seq("url_id"))
+      .join(index.urlDict.select("url_id", "url"), Seq("url_id"))
+      .select(col("url_id"), col("max_tf"),
+        coalesce(col("rank"), lit(0.0)).as("rank"), col("title"), col("url"))
+      .cache()
+    statics.count(): Unit // materialize once, outside the first query's wall
+    Prepared(index, cached, maxPR, statics)
   }
 
   private def emptyResult(spark: SparkSession): DataFrame = {
@@ -53,7 +71,37 @@ object Searcher {
         StructField("title_score", DoubleType), StructField("title", StringType))))
   }
 
-  def search(spark: SparkSession, p: Prepared, query: String, topK: Int = 50): DataFrame = {
+  private val prof = sys.env.contains("GRAFT_SERP_PROF")
+  private def ptime[T](label: String)(f: => T): T =
+    if (!prof) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[serp-prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+  /** Serving-path latency scope. AQE turns every query stage of the SERP
+    * plan into its own driver-replanned job with a materialization barrier:
+    * measured on the demo index, the ~15-stage serve plan became ~15
+    * sequential jobs at ~300-400 ms scheduling overhead each — 6 s of a
+    * 6.5 s warm wall was AQE round-trips, not compute (stage task time
+    * summed to <1 s). A latency-bound top-K serve wants the whole DAG
+    * scheduled as ONE job, so AQE is disabled around the search job by
+    * default; set spark.graft.serve.aqe=true to restore it (the right
+    * trade when the per-query matched-doc set is large enough that runtime
+    * skew handling and partition coalescing beat scheduling round-trips —
+    * e.g. single-token queries over a multi-TB index). */
+  private def withServeConf[T](spark: SparkSession)(f: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, spark.conf.get("spark.graft.serve.aqe", "false"))
+    try f finally spark.conf.set(aqeKey, old)
+  }
+
+  def search(spark: SparkSession, p: Prepared, query: String, topK: Int = 50): DataFrame =
+    withServeConf(spark) { searchImpl(spark, p, query, topK) }
+
+  private def searchImpl(spark: SparkSession, p: Prepared, query: String, topK: Int): DataFrame = {
     import spark.implicits._
     val idx = p.index
 
@@ -61,9 +109,9 @@ object Searcher {
     val groups = TextPipeline.tokenizeQuery(query)
     if (groups.isEmpty) return emptyResult(spark)
     val allStems = groups.flatten
-    val wordIdMap = idx.wordDict
+    val wordIdMap = ptime("wordId lookup") { idx.wordDict
       .filter(col("word").isInCollection(allStems.distinct))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap }
 
     // findWordId with the phrase-kill rule (Ranker.kt:100-119)
     val idGroups: List[Vector[Long]] = groups.flatMap { g =>
@@ -129,14 +177,14 @@ object Searcher {
       (sum("score") / (count(lit(1)) * 3)).as("mean_score"))
 
     // -- final scoring (WebController.kt:60-83) ------------------------------
+    // one join against the prepared query-invariant statics table (max_tf,
+    // rank, title, url pre-joined + cached in prepare()) instead of four
     val stemsLit = typedlit(allStems)
     val scored = norm
-      .join(idx.maxTf, Seq("url_id"))
-      .join(p.ranks, Seq("url_id"), "left")
-      .join(idx.urlInfo.select("url_id", "title"), Seq("url_id"))
+      .join(p.statics, Seq("url_id"))
       .crossJoin(broadcast(stats))
       .withColumn("cos", col("score") / col("max_tf"))
-      .withColumn("pr", coalesce(col("rank"), lit(0.0)) / lit(p.maxPR * 3))
+      .withColumn("pr", col("rank") / lit(p.maxPR * 3))
       .withColumn("title_toks", gfn.tokenize_words(col("title")))
       .withColumn("title_score",
         size(filter(stemsLit, t =>
@@ -144,22 +192,34 @@ object Searcher {
             contains(lower(col("title")), t))) * col("mean_score"))
       .withColumn("total", col("cos") + col("pr") + col("title_score"))
 
+    // global top-K as a TakeOrderedAndProject (no single-partition sort
+    // exchange); the rank column is assigned DRIVER-side over the collected
+    // ≤ topK rows — identical semantics to a row_number() window ordered by
+    // (total desc, url_id asc), without the Window's one-partition shuffle
+    // that used to be the serve job's last stage
     val top = scored
-      .join(idx.urlDict.select("url_id", "url"), Seq("url_id"))
+      .select("url_id", "url", "total", "cos", "pr", "title_score", "title")
       .orderBy(desc("total"), asc("url_id"))
       .limit(topK)
-    val result = top.withColumn("rank",
-        row_number().over(Window.orderBy(desc("total"), asc("url_id"))))
-      .select("rank", "url_id", "url", "total", "cos", "pr", "title_score", "title")
 
     // the SERP is ≤ topK rows — materialize it as a LocalRelation so the
     // per-query `norm` cache can be released immediately (a serving session
     // firing many queries must not accumulate cached plans), and downstream
     // joins (serpDetails) get a broadcastable local table for free
-    val rows = result.collect()
+    val collected = ptime("serp collect") { top.collect() }
     norm.unpersist()
-    if (rows.isEmpty) return emptyResult(spark) // pinned empty-SERP schema
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    if (collected.isEmpty) return emptyResult(spark) // pinned empty-SERP schema
+    // re-assert the order driver-side (TakeOrderedAndProject returns rows
+    // already ordered; this is a ≤ topK-element no-op guard, not a sort job)
+    val ordered = collected.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+    val rows: Seq[org.apache.spark.sql.Row] = ordered.zipWithIndex.map {
+      case (r, i) => org.apache.spark.sql.Row.fromSeq((i + 1) +: r.toSeq)
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +: top.schema.fields)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** J7/T4/F12: the SERP metadata block — one multi-way left join of the

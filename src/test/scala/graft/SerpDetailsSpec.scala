@@ -67,13 +67,18 @@ class SerpDetailsSpec extends AnyFunSuite {
     val ranks = PageRankSpark.run(eIdx.links, eIdx.urlDict.select("url_id"), 5)
     val prepared = Searcher.prepare(eIdx, ranks)
     Searcher.search(spark, prepared, "research systems") // warm
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     (1 to 3).foreach { _ =>
       Searcher.search(spark, prepared, "research systems").count()
       Searcher.search(spark, prepared, "the of and").count() // 0-result path
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "per-query caches must be released after the SERP materializes")
+    // growth check by RDD id (not total count): the ContextCleaner may
+    // concurrently reclaim DEAD persisted RDDs (e.g. an old crawl
+    // localCheckpoint whose reference was dropped) — shrinkage is fine,
+    // what search() must never do is ADD a persisted plan per query
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty,
+      s"per-query caches must be released after the SERP materializes: $added")
     prepared.close()
   }
 
