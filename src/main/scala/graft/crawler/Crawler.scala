@@ -338,18 +338,30 @@ object Crawler {
             // job per round: pure snapshot-mode tax (the round-4 bench
             // measured resumable mode at 2.8× memory mode; this and the
             // per-file chmod forks were the serial parts)
+            // Footer reads run CONCURRENTLY (round-4 ADVICE): on a remote
+            // store (HDFS/S3) a sequential loop would be N serial metadata
+            // round-trips per round — the opposite of the speedup. Each
+            // read is one ~8-byte-footer-length + footer fetch, so a small
+            // I/O pool covers the latency without a Spark job.
             val hconf = spark.sessionState.newHadoopConf()
             val dp = new org.apache.hadoop.fs.Path(deltaPath)
             val dfs = dp.getFileSystem(hconf)
-            val lin = dfs.listStatus(dp)
+            val statuses = dfs.listStatus(dp)
               .filter(_.getPath.getName.startsWith("part-"))
-              .sortBy(_.getPath.getName).zipWithIndex
-              .map { case (st, i) =>
-                val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                  .fromStatus(st, hconf)
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                try PartitionLineage(i, r.getRecordCount) finally r.close()
-              }.toVector
+              .sortBy(_.getPath.getName).zipWithIndex.toVector
+            val lin = {
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.duration.Duration
+              import scala.concurrent.ExecutionContext.Implicits.global
+              Await.result(Future.traverse(statuses) { case (st, i) =>
+                Future {
+                  val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromStatus(st, hconf)
+                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                  try PartitionLineage(i, r.getRecordCount) finally r.close()
+                }
+              }, Duration.Inf)
+            }
             (back, lin)
           case None =>
             // LAZY checkpoint: the statsRow aggregation below materializes

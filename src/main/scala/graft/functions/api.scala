@@ -76,13 +76,16 @@ object gfn {
     reg1("round6_exact", e => Round6Expr(
       org.apache.spark.sql.catalyst.expressions.Cast(
         e, org.apache.spark.sql.types.DoubleType)))
-    // scale must be a literal (folded at registration into the plan const)
+    // scale must be a foldable integer literal (folded at registration
+    // into the plan const). Round-4 ADVICE: a non-foldable argument used
+    // to throw an opaque eval exception and a fractional literal
+    // (round_exact(x, 2.7)) silently truncated to scale 2 — both now
+    // raise an explicit analysis-time error.
     reg.createOrReplaceTempFunction("round_exact",
       es => RoundExactExpr(
         org.apache.spark.sql.catalyst.expressions.Cast(
           es(0), org.apache.spark.sql.types.DoubleType),
-        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .toString.toDouble.toInt), "built-in")
+        foldableIntArg("round_exact", "scale", es(1))), "built-in")
     reg1("srp_sketch", SrpSketchExpr.apply)
     reg.createOrReplaceTempFunction("extract_links",
       es => ExtractLinksExpr(es(0), es(1), es(2), es(3)), "built-in")
@@ -95,7 +98,32 @@ object gfn {
     reg1("trigram_shingles", TrigramShinglesExpr.apply)
     reg.createOrReplaceTempFunction("minhash_sigs",
       es => MinhashSigsExpr(es(0),
-        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .toString.toDouble.toInt), "built-in")
+        foldableIntArg("minhash_sigs", "k", es(1))), "built-in")
+  }
+
+  /** Evaluate a SQL function argument that must be a foldable integral
+    * literal (the value is baked into the plan at registration time).
+    * Raises a clear AnalysisException for non-foldable or fractional
+    * arguments instead of an opaque eval error / silent truncation. */
+  private def analysisErr(msg: String): org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_0035", Map("message" -> msg), None)
+
+  private def foldableIntArg(fn: String, arg: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    if (!e.foldable)
+      throw analysisErr(s"$fn: argument '$arg' must be a foldable literal, got ${e.sql}")
+    val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val d = v match {
+      case null =>
+        throw analysisErr(s"$fn: argument '$arg' must not be NULL")
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other =>
+        throw analysisErr(s"$fn: argument '$arg' must be numeric, got $other")
+    }
+    if (d != math.rint(d) || d.isNaN || d.isInfinite)
+      throw analysisErr(s"$fn: argument '$arg' must be an integer literal, got $d")
+    d.toInt
   }
 }

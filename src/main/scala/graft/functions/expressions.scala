@@ -55,7 +55,16 @@ object ExprImpl {
     * adversarial half-boundary/dyadic/random values. [[round6]] stays
     * exact-binary HALF_UP: it reproduces the reference's Java
     * `"%.6f".format` (TfIdfMain.kt:35) for the tf-idf store, and its
-    * oracle parity is VALUES-pinned, never recomputed in DuckDB. */
+    * oracle parity is VALUES-pinned, never recomputed in DuckDB.
+    *
+    * NEGATIVE TIES round toward +infinity, not away from zero: the
+    * formula adds +0.5 before floor regardless of sign, so e.g.
+    * `roundExact(-2.675, 2)` (whose nearest double is -2.67499…) gives
+    * -2.67 where Spark `round()` / DuckDB `ROUND` half-away semantics
+    * would give -2.68 on an exact tie. Safe today because the oracle
+    * mirrors the identical formula and negative values only flow through
+    * mirrored paths (cosine columns); a caller expecting half-away on
+    * negatives must NOT use this function. Pinned in SqlSurfaceSpec. */
   def roundExact(x: Double, scale: Int): Double = {
     if (!java.lang.Double.isFinite(x)) return x
     val p = math.pow(10.0, scale.toDouble)

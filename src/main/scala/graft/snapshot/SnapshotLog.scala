@@ -22,6 +22,12 @@ import org.json4s.JsonDSL._
   * deterministic function of (seen, frontier, pages, config)). Commits are
   * atomic via write-to-temp + move.
   */
+/** Rows per written file of a seen-set delta. `partition` is the ORDINAL
+  * of the part- file under the delta directory in SORTED-FILENAME order —
+  * NOT `spark_partition_id()` (round 4 moved lineage from a per-round
+  * recount job to parquet-footer metadata reads; Spark's task-attempt
+  * naming keeps sorted-filename order equal to writer-partition order for
+  * successful commits, but the manifest contract is the ordinal). */
 final case class PartitionLineage(partition: Int, rows: Long)
 
 final case class RoundMetrics(

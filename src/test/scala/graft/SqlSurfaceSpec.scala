@@ -96,6 +96,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql1[Double]("SELECT round_exact(0.00405, 4)") ==
       graft.functions.ExprImpl.roundExact(0.00405, 4))
     assert(sql1[Double]("SELECT round_exact(CAST('NaN' AS DOUBLE), 4)").isNaN)
+    // NEGATIVE ties round toward +INFINITY, not away from zero (round-4
+    // ADVICE pin): floor(x·10^s + 0.5) adds +0.5 regardless of sign, so a
+    // dyadic exact tie on a negative value goes UP. Spark round()/DuckDB
+    // ROUND half-away would give -0.0313 here; the portable formula (in
+    // BOTH engines) gives -0.0312. Callers needing half-away on negatives
+    // must not use round_exact (ExprImpl.roundExact scaladoc).
+    assert(sql1[Double]("SELECT round_exact(-0.03125, 4)") == -0.0312)
+    assert(sql1[Double]("SELECT round_exact(-2.675, 2)") == -2.67) // scales to -267.5 exact
+    assert(sql1[Double]("SELECT round_exact(-0.03125, 4)") ==
+      graft.functions.ExprImpl.roundExact(-0.03125, 4))
+    // foldable-literal argument contract (round-4 ADVICE): non-foldable or
+    // fractional scale/k arguments raise a CLEAR analysis error instead of
+    // an opaque eval exception / silent truncation to scale 2
+    val fracErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT round_exact(1.5, 2.7)").collect()
+    }
+    assert(fracErr.getMessage.contains("must be an integer literal"))
+    val nonFoldErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT round_exact(1.5, CAST(rand() * 3 AS INT))").collect()
+    }
+    assert(nonFoldErr.getMessage.contains("must be a foldable literal"))
+    val kErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sigs(array('ab'), 1.5)").collect()
+    }
+    assert(kErr.getMessage.contains("must be an integer literal"))
 
     val s = sql1[Long]("SELECT srp_sketch(array(1.0d, -2.0d, 0.5d))")
     val sApi = Seq(Tuple1(Seq(1.0, -2.0, 0.5))).toDF("v")
