@@ -26,6 +26,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** embeddings ∪ near-duplicate copies for the production-threshold LSH
+    * gate: vec_id+1e6 with each element shifted +0.05 (double add, cast
+    * back to float — bit-portable; DuckDB mirrors it verbatim). */
+  private def prodDupEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val pert = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") + lit(0.05)).cast("float")).as("embedding"))
+    base.unionByName(pert)
+  }
+
   /** single source of truth for the demo corpus shape — the politeness
     * oracle's unroll depth below must cover THIS corpus's fixpoint, which
     * PropertySpecs guards by running the engine on the same spec. */
@@ -327,6 +340,20 @@ object SparkEntry {
       T.cosineDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4,
         maxHamming = 30)),
 
+    // the PRODUCTION-threshold SRP-LSH regime (round-4 verdict item 5):
+    // cos ≥ 0.9 at the DEFAULT radius 16. The driver's embeddings table
+    // has no high-cosine pairs (max 0.51/0.60 at sf0.01/sf0.1), so the
+    // gate derives a near-dup corpus DETERMINISTICALLY inside the query:
+    // each vector unioned with an elementwise (+0.05 in double, cast back
+    // to float) copy at vec_id+1_000_000 — pure IEEE add/cast, so DuckDB
+    // derives bit-identical vectors. Resulting dup pairs span cos
+    // 0.9165-0.9535 (θ ≈ 17-24° ⇒ E[sketch hamming] ≈ 6.2-8.5, i.e.
+    // > 1.8σ headroom under radius 16 — the regime the r4 sf0.1
+    // cross-check argued safe but had no gate for). Hash-match vs the
+    // exact all-pairs oracle ⇒ recall 1.0 at threshold 0.9.
+    "q_cosine_pairs_lsh_prod" -> ((s, d) =>
+      T.cosineDupPairsLsh(prodDupEmbeddings(s, d), threshold = 0.9)),
+
     // ---------------- crawl / rank / search (fixture-tested; no SQL form) ---
     "q_crawl_seen" -> ((s, _) => {
       val (_, crawl) = crawlDemo(s)
@@ -399,6 +426,31 @@ object SparkEntry {
     // they share the sibling's oracle verbatim
     "q_simhash_pairs_2stage" -> oracleSqlBase("q_simhash_pairs"),
     "q_cosine_pairs_lsh" -> oracleSqlBase("q_cosine_pairs"),
+    // production-threshold LSH gate: EXACT all-pairs at cos ≥ 0.9 over the
+    // same derived near-dup corpus (base ∪ +0.05-shifted copies) — a
+    // hash-match proves recall 1.0 in the cos ≥ 0.9 / radius-16 regime
+    "q_cosine_pairs_lsh_prod" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT)) AS embedding
+        |  FROM base),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |flat AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         unnest(x.embedding) AS xa, unnest(y.embedding) AS yb
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id),
+        |dots AS (
+        |  SELECT a, b, SUM(CAST(xa AS DOUBLE)*CAST(yb AS DOUBLE)) AS dot,
+        |         SUM(CAST(xa AS DOUBLE)*CAST(xa AS DOUBLE)) AS na,
+        |         SUM(CAST(yb AS DOUBLE)*CAST(yb AS DOUBLE)) AS nb
+        |  FROM flat GROUP BY 1,2)
+        |SELECT a, b, cos FROM (
+        |  SELECT a, b, FLOOR(dot/(SQRT(na)*SQRT(nb)) * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM dots)
+        |WHERE cos >= 0.9
+        |ORDER BY a, b""".stripMargin,
     // full-probe IVF ≡ brute force (every cell probed ⇒ every vector
     // scored ⇒ identical top-k), so it shares the exact oracle verbatim
     "q_ann_fullprobe" -> oracleSqlBase("q_cosine_topk"),
