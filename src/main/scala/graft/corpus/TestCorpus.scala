@@ -290,17 +290,36 @@ object TestCorpus {
     }
   }
 
-  /** Deterministic REAL GIF headers: GIF89a signature + logical-screen
+  /** Deterministic REAL GIF data streams: GIF89a signature + logical-screen
     * descriptor with true little-endian dimensions + a 4-entry global
-    * color table + trailer. */
+    * color table + per-frame (graphic-control extension, image descriptor,
+    * LZW sub-block chain) + trailer — so the block-walk frame counter has
+    * true animation lengths (1-4 frames) to find. */
   def gifRows(n: Int, seed: Long = 42L): Vector[PageRow] = {
     val rng = new Lcg(seed ^ 0x474946L) // "GIF"
     Vector.tabulate(n) { i =>
       val width = 16 + rng.nextInt(1000)
       val height = 16 + rng.nextInt(800)
+      val frames = 1 + (i % 4) // deterministic, decoupled from the rng
       PageRow(s"https://cdn.test/anim$i.gif",
         new Timestamp(1546300800000L + i * 60000L),
-        gifBytes(width, height, rng), "", "und")
+        gifBytes(width, height, frames, rng), "", "und")
+    }
+  }
+
+  /** Deterministic fully-DECODABLE PNGs: small true dimensions, real
+    * filtered + zlib-deflated RGBA pixel data (gradient + noise). These
+    * feed the REAL pixel-decode path (Multimodal.decodePngPixels) and its
+    * pixel-derived feature vector; [[mediaRows]] keeps the garbage-IDAT
+    * shape to pin the corrupt-payload fallback. */
+  def pngPixelRows(n: Int, seed: Long = 42L): Vector[PageRow] = {
+    val rng = new Lcg(seed ^ 0x504e4758L) // "PNGX"
+    Vector.tabulate(n) { i =>
+      val width = 16 + rng.nextInt(80)
+      val height = 16 + rng.nextInt(60)
+      PageRow(s"https://cdn.test/pix$i.png",
+        new Timestamp(1546300800000L + i * 60000L),
+        pngBytes(width, height, rng, decodable = true), "", "und")
     }
   }
 
@@ -320,7 +339,7 @@ object TestCorpus {
     out.toByteArray
   }
 
-  private def gifBytes(width: Int, height: Int, rng: Lcg): Array[Byte] = {
+  private def gifBytes(width: Int, height: Int, frames: Int, rng: Lcg): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     "GIF89a".foreach(c => out.write(c.toInt))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
@@ -329,11 +348,38 @@ object TestCorpus {
     out.write(rng.nextInt(4)) // background color index
     out.write(0) // aspect ratio
     (0 until 4 * 3).foreach(_ => out.write(rng.nextInt(256))) // GCT RGB
+    (0 until frames).foreach { f =>
+      // graphic control extension (the block an animation player reads)
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04); le16(10 + f) // disposal/delay
+      out.write(0); out.write(0) // transparent idx, terminator
+      // image descriptor: full-frame, no local color table
+      out.write(0x2c)
+      le16(0); le16(0); le16(width); le16(height)
+      out.write(0)
+      // LZW min code size + a few data sub-blocks (content is filler — the
+      // frame COUNT is the real decoded property; LZW pixels need a codec)
+      out.write(2)
+      val blocks = 1 + rng.nextInt(3)
+      (0 until blocks).foreach { _ =>
+        val len = 1 + rng.nextInt(32)
+        out.write(len)
+        (0 until len).foreach(_ => out.write(rng.nextInt(256)))
+      }
+      out.write(0) // sub-block chain terminator
+    }
     out.write(0x3b) // trailer
     out.toByteArray
   }
 
-  private def pngBytes(width: Int, height: Int, rng: Lcg): Array[Byte] = {
+  /** REAL PNG files: spec-correct chunks AND a genuinely decodable image —
+    * deterministic RGBA pixels (gradient + LCG noise), each scanline
+    * FILTERED with the spec filter `y % 5` (None/Sub/Up/Average/Paeth, so
+    * a decoder must implement all five), zlib-deflated into IDAT. A
+    * `decodable=false` variant keeps the old shape (IHDR + garbage IDAT)
+    * to exercise the corrupt-payload fallback. */
+  private def pngBytes(width: Int, height: Int, rng: Lcg,
+                       decodable: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     def be32(v: Int): Array[Byte] = Array(
@@ -349,7 +395,63 @@ object TestCorpus {
     }
     // bit depth 8, color type 6 (RGBA), deflate, no filter, no interlace
     chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0))
-    chunk("IDAT", Array.fill(64 + rng.nextInt(192))(rng.nextLong().toByte))
+    if (!decodable) {
+      chunk("IDAT", Array.fill(64 + rng.nextInt(192))(rng.nextLong().toByte))
+    } else {
+      val stride = width * 4
+      val px = new Array[Byte](height * stride) // raw RGBA, row-major
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val o = y * stride + x * 4
+          px(o) = ((x * 255 / math.max(width - 1, 1)) & 0xff).toByte
+          px(o + 1) = ((y * 255 / math.max(height - 1, 1)) & 0xff).toByte
+          px(o + 2) = rng.nextInt(256).toByte
+          px(o + 3) = 0xff.toByte
+          x += 1
+        }
+        y += 1
+      }
+      // filter each scanline with type y % 5 (the decoder must invert all)
+      val raw = new Array[Byte](height * (1 + stride))
+      y = 0
+      while (y < height) {
+        val ft = y % 5
+        raw(y * (1 + stride)) = ft.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = px(y * stride + x) & 0xff
+          val left = if (x >= 4) px(y * stride + x - 4) & 0xff else 0
+          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val upLeft = if (y > 0 && x >= 4) px((y - 1) * stride + x - 4) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case 4 =>
+              val p = left + up - upLeft
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - upLeft)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+          }
+          raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflated = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        buf.toByteArray
+      }
+      chunk("IDAT", deflated)
+    }
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }

@@ -381,6 +381,110 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifDims("GIF89a".getBytes("UTF-8")).isEmpty) // truncated
   }
 
+  test("multimodal: REAL PNG pixel decode — hand-built image round-trips " +
+       "exactly; features match hand-computed values") {
+    // hand-encode a 2x2 RGBA PNG with filter 0 rows, fully independent of
+    // the generator and the decoder under test
+    val px = Array[Int](
+      255, 0, 0, 255,   0, 255, 0, 255, // row 0: red, green
+      0, 0, 255, 255,   255, 255, 255, 255) // row 1: blue, white
+    val raw = Array[Byte](
+      0, // filter None
+      255.toByte, 0, 0, 255.toByte, 0, 255.toByte, 0, 255.toByte,
+      0, // filter None
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val deflated = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end(); buf.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val body = t.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(2) ++ be32(2) ++ Array[Byte](8, 6, 0, 0, 0))
+    chunk("IDAT", deflated)
+    chunk("IEND", Array.emptyByteArray)
+    val png = out.toByteArray
+
+    val Some((w, h, decoded)) = Multimodal.decodePngPixels(png)
+    assert((w, h) == (2, 2))
+    assert(decoded.map(_ & 0xff).toSeq == px.toSeq) // exact pixel round-trip
+
+    // hand-computed features (ITU-R 601 luma over the four pixels)
+    val feat = Multimodal.pixelFeature(2, 2, 4, decoded)
+    val lumas = Seq(0.299, 0.587, 0.114, 1.0)
+    val meanL = lumas.sum / 4
+    assert(math.abs(feat(0) - (255 + 0 + 0 + 255) / 4.0 / 255.0) < 1e-12) // mean R
+    assert(math.abs(feat(1) - (0 + 255 + 0 + 255) / 4.0 / 255.0) < 1e-12) // mean G
+    assert(math.abs(feat(2) - (0 + 0 + 255 + 255) / 4.0 / 255.0) < 1e-12) // mean B
+    assert(math.abs(feat(3) - meanL) < 1e-12)
+    val varL = lumas.map(l => (l - meanL) * (l - meanL)).sum / 4
+    assert(math.abs(feat(4) - math.sqrt(varL)) < 1e-12)
+    // horizontal neighbors: (r0: |.587-.299|, r1: |1.0-.114|); vertical:
+    // (c0: |.114-.299|, c1: |1.0-.587|)
+    assert(math.abs(feat(5) - (0.288 + 0.886) / 2) < 1e-12)
+    assert(math.abs(feat(6) - (0.185 + 0.413) / 2) < 1e-12)
+    assert(feat(7) == 0.5) // white and green are above the mean luma
+
+    // unsupported layouts / corrupt streams → None (fallback, never throws)
+    val rgbOnly = png.clone(); rgbOnly(25) = 2 // color type RGB ≠ RGBA
+    assert(Multimodal.decodePngPixels(rgbOnly).isEmpty)
+    assert(Multimodal.decodePngPixels(png.take(40)).isEmpty) // truncated IDAT
+  }
+
+  test("multimodal: generator PNGs decode through all five scanline filters — " +
+       "gradient channels match the generator formula; GIF frame counts are real") {
+    val pixes = graft.corpus.TestCorpus.pngPixelRows(4)
+    pixes.foreach { p =>
+      val Some((w, h, px)) = Multimodal.decodePngPixels(p.html)
+      assert(h >= 5, "needs ≥5 rows to exercise every filter type")
+      // generator-side truth, rng-independent: R = x-gradient, G =
+      // y-gradient, A = 255 — surviving de-filter of types 0-4 proves the
+      // Sub/Up/Average/Paeth inversions are correct
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 4
+          assert((px(o) & 0xff) == x * 255 / math.max(w - 1, 1), s"R at ($x,$y) of ${p.url}")
+          assert((px(o + 1) & 0xff) == y * 255 / math.max(h - 1, 1), s"G at ($x,$y)")
+          assert((px(o + 3) & 0xff) == 255, s"A at ($x,$y)")
+          x += 1
+        }
+        y += 1
+      }
+      // the dispatch uses the real pixels (feature ≠ stub's)
+      val (dw, dh, df, feat) = Multimodal.decode(p.html)
+      assert((dw, dh, df) == (w, h, 1))
+      assert(!feat.sameElements(Multimodal.decodeStub(p.html)._4))
+    }
+
+    // GIF: the block walk counts the true image descriptors (1 + i%4)
+    val gifs = graft.corpus.TestCorpus.gifRows(8)
+    gifs.zipWithIndex.foreach { case (g, i) =>
+      assert(Multimodal.decodeGifFrameCount(g.html).contains(1 + (i % 4)), g.url)
+      val (_, _, nf, _) = Multimodal.decode(g.html)
+      assert(nf == 1 + (i % 4), s"dispatch frames for ${g.url}")
+    }
+    // negatives: truncated stream (no trailer), garbage block introducer
+    val truncated = gifs.head.html.dropRight(1)
+    assert(Multimodal.decodeGifFrameCount(truncated).isEmpty)
+    val garbage = gifs.head.html.clone()
+    // first block introducer lives right after header+GCT (13 + 12 bytes)
+    garbage(25) = 0x7f
+    assert(Multimodal.decodeGifFrameCount(garbage).isEmpty)
+  }
+
   test("langId v2: full confusion matrix on a real 5-language fixture " +
        "(en/de/fr/es discriminated, gibberish → other)") {
     val docs = Seq(
