@@ -82,9 +82,113 @@ object StreamOps {
     seenFilter(fetched)
   }
 
+  /** Cross-batch seen dedup with the batch crawler's EXACT depth
+    * semantics: within a micro-batch, duplicates of a url collapse to the
+    * MIN discovery depth (the batch `groupBy(url).agg(min(depth))`), and
+    * across batches only the first micro-batch's row is emitted. Plain
+    * [[seenFilter]] keeps an arbitrary duplicate's depth within a batch;
+    * this variant is what the polite end-to-end equivalence needs. State
+    * is one boolean per url, hash-partitioned on the same key the batch
+    * anti-join shuffles on. */
+  def seenFilterMinDepth(urls: Dataset[(String, Int)]): Dataset[(String, Int)] = {
+    import urls.sparkSession.implicits._
+    urls
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (url: String, rows: Iterator[(String, Int)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((url, rows.map(_._2).min))
+          }
+      }
+  }
+
   final case class FetchRequest(host: String, url: String)
   final case class GatedFetch(host: String, url: String, seq: Long,
                               allowed: Boolean)
+
+  final case class PoliteRequest(host: String, url: String, depth: Int)
+  final case class PoliteGated(host: String, url: String, depth: Int,
+                               allowed: Boolean)
+
+  /** Per-host politeness with the batch crawler's PER-ROUND semantics
+    * (one micro-batch = one crawl round): within each batch, each host's
+    * requests are ranked by (depth, url) and the first `budget` are
+    * allowed; the remainder emit `allowed = false` for the caller to
+    * re-offer next round — exactly the batch `politenessSelect` window.
+    * Unlike [[politenessGate]] (a total-crawl quota), NO counter persists
+    * across batches: the group state is never written, so the budget
+    * resets every round just like the batch window re-ranks every round. */
+  def politenessGateByRound(requests: Dataset[PoliteRequest],
+                            budget: Int): Dataset[PoliteGated] = {
+    import requests.sparkSession.implicits._
+    requests
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[Long, PoliteGated](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (host: String, batch: Iterator[PoliteRequest], _: GroupState[Long]) =>
+          batch.toVector.sortBy(r => (r.depth, r.url)).zipWithIndex.map {
+            case (r, i) => PoliteGated(host, r.url, r.depth, allowed = i < budget)
+          }.iterator
+      }
+  }
+
+  /** The FULLY-GOVERNED streaming crawl round (round-4 verdict item 6):
+    * robots rules and the per-round host budget composed BETWEEN frontier
+    * and fetch, then link extraction and exact min-depth seen dedup —
+    * every stage of the batch polite crawler as one streaming dataflow.
+    * Emits one row per (url, depth, kind):
+    *   - `discovered` — a NEWLY seen url (post-dedup), to join the next
+    *     frontier (minus seeds);
+    *   - `deferred`   — a candidate over its host's budget this round, to
+    *     re-offer next round;
+    *   - `blocked`    — robots-disallowed: discovered, never fetchable
+    *     (the batch crawler's terminal-frontier residents).
+    * Feeding each micro-batch's (discovered ∖ seeds) ∪ deferred ∪ blocked
+    * back as the next frontier reproduces the batch polite crawler's seen
+    * set AND final frontier exactly — pinned in StreamingSpec.
+    *
+    * Scale shape: robots is a broadcast stream-static join (the rules
+    * table is tiny); the gate's groups are keyed by host and the dedup
+    * state by url — the same two shuffle keys the batch job uses. The
+    * politeness gate appears in two branches of the union; it writes no
+    * state, so the duplication costs one extra tiny per-batch sort, not a
+    * state-store copy. */
+  def politeCrawlDataflow(frontier: DataFrame, pages: DataFrame,
+                          filterPrefix: String, budget: Int): DataFrame = {
+    import frontier.sparkSession.implicits._
+    val robots = graft.crawler.Crawler.robotsTable(pages)
+    val withHost = frontier.withColumn("host", gfn.url_host(col("url")))
+    val joined = withHost.join(broadcast(robots), Seq("host"), "left")
+    val isAllowed = coalesce(
+      !exists(col("prefixes"), p => gfn.url_path(col("url")).startsWith(p)),
+      lit(true))
+    val candidates = joined.filter(isAllowed).drop("prefixes")
+    val blocked = joined.filter(!isAllowed)
+      .select(col("url"), col("depth"), lit("blocked").as("kind"))
+
+    val gated = politenessGateByRound(
+      candidates.select(col("host"), col("url"), col("depth").cast("int").as("depth"))
+        .as[PoliteRequest], budget)
+
+    val fetchedLinks = gated.toDF().filter(col("allowed"))
+      .join(pages.select(col("url"), col("html")), Seq("url"), "inner")
+      .select(
+        explode(gfn.extract_links(col("html"), col("url"),
+          lit(filterPrefix), lit(true))).as("url"),
+        (col("depth") + 1).cast("int").as("depth"))
+    val discovered = seenFilterMinDepth(fetchedLinks.as[(String, Int)])
+      .toDF("url", "depth")
+      .select(col("url"), col("depth"), lit("discovered").as("kind"))
+    val deferred = gated.toDF().filter(!col("allowed"))
+      .select(col("url"), col("depth"), lit("deferred").as("kind"))
+
+    discovered.unionByName(deferred).unionByName(blocked)
+  }
 
   /** Per-host politeness budget as CUSTOM STREAMING STATE
     * (mapGroupsWithState): each host carries a fetch counter across

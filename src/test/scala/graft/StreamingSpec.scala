@@ -119,6 +119,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(rounds > 2, "corpus must exercise multiple micro-batch rounds")
   }
 
+  test("END-TO-END: streamed POLITE crawl (robots + per-round host budget " +
+       "composed between frontier and fetch) reproduces the batch polite " +
+       "crawler's seen set AND final frontier") {
+    implicit val sc = spark.sqlContext
+    import graft.corpus.TestCorpus
+    import graft.crawler.{CrawlConfig, Crawler}
+    val corpus = TestCorpus.generate(TestCorpus.Spec(hosts = 3, basePagesPerHost = 8))
+    val pages = spark.createDataset(corpus).toDF().cache()
+    val batchRes = Crawler.run(spark, pages,
+      CrawlConfig(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix,
+        hostBudget = 2, respectRobots = true))
+    val batchSeen = batchRes.seen.select("url", "depth")
+      .as[(String, Int)].collect().toSet
+    val batchFrontier = batchRes.frontier.select("url", "depth")
+      .as[(String, Int)].collect().toSet
+    assert(batchFrontier.nonEmpty, "fixture must leave robots-blocked leftovers")
+
+    val in = MemoryStream[(String, Int)]
+    val sink = nextName()
+    val q = StreamOps.politeCrawlDataflow(in.toDF().toDF("url", "depth"), pages,
+        TestCorpus.filterPrefix, budget = 2)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+
+    // drive rounds: each micro-batch is one crawl round; the next frontier
+    // is (new discoveries ∖ seeds) ∪ deferred ∪ blocked — the exact batch
+    // frontier recurrence (frontier ∖ selected) ∪ frontierAdd
+    var offset = 0
+    var rounds = 0
+    var frontier = Vector((TestCorpus.seedUrl, 0))
+    var discoveredAll = Vector.empty[(String, Int)]
+    var done = false
+    while (!done && rounds < 40) {
+      in.addData(frontier: _*)
+      q.processAllAvailable()
+      val all = spark.table(sink).as[(String, Int, String)].collect()
+      val batch = all.drop(offset)
+      offset = all.length
+      rounds += 1
+      val disc = batch.filter(_._3 == "discovered").map(r => (r._1, r._2))
+      val defr = batch.filter(_._3 == "deferred").map(r => (r._1, r._2))
+      val blk = batch.filter(_._3 == "blocked").map(r => (r._1, r._2))
+      discoveredAll ++= disc
+      frontier = (disc.filterNot(_._1 == TestCorpus.seedUrl) ++ defr ++ blk)
+        .toVector.distinct
+      done = disc.isEmpty && defr.isEmpty
+    }
+    q.stop()
+    assert(done, "polite stream did not drain within 40 rounds")
+    assert(rounds > 3, "budget=2 must force multi-round draining")
+    assert(discoveredAll.map(_._1).distinct.length == discoveredAll.length,
+      "a url was discovered twice")
+    assert(discoveredAll.toSet == batchSeen,
+      s"streamed seen (${discoveredAll.length}) != batch (${batchSeen.size})")
+    assert(frontier.toSet == batchFrontier,
+      "terminal frontier (robots-blocked leftovers) diverged")
+  }
+
   test("seenFilterWatermarked dedups within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
