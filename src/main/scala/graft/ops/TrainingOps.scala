@@ -357,9 +357,17 @@ object TrainingOps {
       val neigh = edges.toDF("dst", "src")
         .join(labels.toDF("src", "l"), "src")
         .select(col("dst").as("v"), col("l").as("label"))
-      val next = labels.unionByName(neigh)
+      val next0 = labels.unionByName(neigh)
         .groupBy("v").agg(min("label").as("label"))
-        .persist()
+      // CUT LINEAGE every few rounds: `labels` feeds both the join and the
+      // union, so the logical plan DOUBLES per iteration — a deep
+      // chain-shaped component (OpsSpec pins a 12-round chain) built a
+      // 2^iters-node plan that OOM'd the driver in plan explain before
+      // any executor ran. persist() caches data but keeps the plan;
+      // localCheckpoint drops it (same cadence idea as the crawler's
+      // compactEvery).
+      val next = if (iters % 4 == 0) next0.localCheckpoint(true)
+                 else next0.persist()
       changed = next.toDF("v", "nl").join(labels, "v")
         .filter(col("nl") =!= col("label")).count()
       labels.unpersist()

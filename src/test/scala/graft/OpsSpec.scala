@@ -169,6 +169,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters convergence QUANTIFIED (r4 verdict #8): a deep chain " +
+       "needs exactly diameter+1 HashMin rounds, a clique exactly 2; the " +
+       "maxIters guard trips one round earlier") {
+    // adversarial CHAIN of 12 nodes (diameter 11): the min label walks one
+    // hop per round, so node 11 learns label 0 at round 11 and round 12
+    // observes no change — 12 rounds exactly. This is the shape the
+    // "near-cliques converge fast" scale assumption excludes, so the test
+    // pins BOTH that it still converges correctly and what it costs.
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val expect = (0L to 11L).map(v => (v, 0L)).toSet
+    assert(T.dupClusters(chain, maxIters = 12).as[(Long, Long)]
+      .collect().toSet == expect)
+    // one round fewer ⇒ the guard fires (iteration count pinned exactly)
+    intercept[IllegalArgumentException] {
+      T.dupClusters(chain, maxIters = 11)
+    }
+    // near-CLIQUE (triangle): every node sees the min in round 1, round 2
+    // confirms the fixpoint — the 2-round fast path the scale argument
+    // rests on, pinned the same way
+    val clique = Seq((5L, 6L), (6L, 7L), (5L, 7L)).toDF("a", "b")
+    assert(T.dupClusters(clique, maxIters = 2).as[(Long, Long)]
+      .collect().toSet == Set((5L, 5L), (6L, 5L), (7L, 5L)))
+    intercept[IllegalArgumentException] {
+      T.dupClusters(clique, maxIters = 1)
+    }
+  }
+
   test("minhash LSH finds exact dup and skips unrelated") {
     val docs = Seq(
       (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
