@@ -197,10 +197,15 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val cpu = processCpuSec() - c0
       // content hash OUTSIDE the timed window (it is an equivalence check,
-      // not part of the crawl); order-independent sum of per-url hashes
+      // not part of the crawl); order-independent XOR of per-url hashes —
+      // NOT sum: summing random 64-bit hashes overflows Long, which under
+      // Spark 4's default ANSI mode throws ARITHMETIC_OVERFLOW and killed
+      // every crawl fork (caught by the round-5 smoke run). XOR is
+      // overflow-free and the seen set is distinct by construction, so
+      // pairwise cancellation can't occur.
       seenHash = {
         import org.apache.spark.sql.functions._
-        res.seen.agg(sum(xxhash64(col("url")))).head().getLong(0)
+        res.seen.agg(expr("bit_xor(xxhash64(url))")).head().getLong(0)
       }
       workDir.foreach(d => deleteRecursively(new java.io.File(d)))
       System.err.println(f"[bench] local[$cpus] $mode rep $rep: ${res.rounds.size} rounds, " +
@@ -512,6 +517,14 @@ object Bench {
     var altCostS = 680L // prior estimate; replaced by measurement after alt 0
     var alt = 0
     var converged = false
+    // a budget below the prior alternation estimate must DEGRADE the
+    // scaling phase (one 1/1-rep alternation), never skip it — it is the
+    // top-priority evidence and runs first for exactly that reason
+    if (remainingS <= altCostS + reserveQueriesS) {
+      repsLow = 1; repsHigh = 1; altCostS = 260L
+      System.err.println(s"[bench] tight budget (${remainingS}s): scaling " +
+        "degrades to a single 1/1-rep alternation")
+    }
     while (alt < maxAlts && !converged &&
            remainingS > altCostS + reserveQueriesS) {
       // degrade reps under pressure: a 3/5-rep alternation that doesn't fit
