@@ -310,6 +310,16 @@ object Crawler {
             .join(seen.select("url").hint("shuffle_hash"), Seq("url"), "left_anti")
             .select(col("url"), xxhash64(col("url")).as("url_hash"), col("depth"))
         } else {
+          // MATERIALIZE the per-round dedup ONCE before the two probe
+          // branches consume it. An eager localCheckpoint (not persist):
+          // the branches' filter-over-cache plans were observed to MISS the
+          // InMemoryRelation and recompute the whole 146-task
+          // fetch+extract+dedup per branch — event-log forensics showed the
+          // newSeen materialization stage repeating the full scan shape,
+          // making bloom mode 2.31× exact mode (+236 cpu-s) in the round-5
+          // bench. Checkpointing truncates the plan to the materialized
+          // RDD, so a recompute is impossible by construction.
+          val rl = roundLinks.localCheckpoint(true)
           val bc = spark.sparkContext.broadcast(driverBloom)
           val probe = org.apache.spark.sql.graft.Bridge.column(BloomProbeExpr(
             org.apache.spark.sql.graft.Bridge.expression(xxhash64(col("url"))), bc))
@@ -318,9 +328,9 @@ object Crawler {
           // 10^10-url scale an OOM). shuffle_hash keeps the anti-join fully
           // distributed; the bloom pre-filter has already shrunk the probe
           // side to likely-dups only.
-          val maybeSeen = roundLinks.filter(probe)
+          val maybeSeen = rl.filter(probe)
             .join(seen.select("url").hint("shuffle_hash"), Seq("url"), "left_anti")
-          val definitelyNew = roundLinks.filter(!probe)
+          val definitelyNew = rl.filter(!probe)
           definitelyNew.unionByName(maybeSeen)
             .select(col("url"), xxhash64(col("url")).as("url_hash"), col("depth"))
         }
