@@ -557,17 +557,42 @@ object TrainingOps {
       .orderBy("a", "b")
   }
 
+  /** Hamming radius for [[cosineDupPairsLsh]] AUTO-CALIBRATED from the
+    * cosine threshold (round-5: a fixed radius was measured leaking 0.25%
+    * of pairs at the threshold boundary — the radius must be a function of
+    * the threshold, not a constant). For a 64-bit SRP sketch and a pair at
+    * angle θ, each bit differs independently with p = θ/π, so hamming ~
+    * Binomial(64, p): mean 64p, σ = √(64p(1−p)). The radius covers the
+    * WORST admissible pair (cos exactly = threshold) at `sigmas` standard
+    * deviations — default 4σ ⇒ per-pair miss ≈ 3×10⁻⁵ at the boundary and
+    * vanishing for anything deeper in the band. Capped at 31: past h ≈ 31
+    * the h+2 pigeonhole blocks hold ≤ 2 bits and every bucket collapses
+    * into one (the round-2 failure mode) — thresholds that low (cos ≲ 0.5)
+    * are research territory where candidates ≈ all pairs anyway; pass an
+    * explicit radius there. Larger radii also widen buckets (fewer bits
+    * per block key): for ≥10⁷-vector corpora watch the df-cap WARNs and
+    * consider an explicit radius or a higher threshold. */
+  def srpRadiusFor(threshold: Double, sigmas: Double = 4.0): Int = {
+    val theta = math.acos(math.min(math.max(threshold, -1.0), 1.0))
+    val p = theta / math.Pi
+    val mean = 64.0 * p
+    val sigma = math.sqrt(64.0 * p * (1.0 - p))
+    math.min(31, math.max(1, math.ceil(mean + sigmas * sigma).toInt))
+  }
+
   /** approximate embedding-cosine near-dup pairs at scale: 64-bit
     * sign-random-projection sketches (gfn.srp_sketch — angular distance θ
     * maps to expected Hamming 64·θ/π), candidates from the pigeonhole
     * block self-join of the sketches, exact cosine verification on the
-    * candidates only. Recall is probabilistic (fixture-tested vs the exact
-    * baseline on a clustered corpus); candidates are bucket-bounded, never
-    * O(n²). For cos ≥ 0.9, θ ≤ 25.8° ⇒ E[hamming] ≈ 9.2; default radius
-    * 16 gives comfortable headroom. */
+    * candidates only. Candidates are bucket-bounded, never O(n²).
+    * `maxHamming ≤ 0` (the default) auto-calibrates the radius from the
+    * threshold via [[srpRadiusFor]] — e.g. threshold 0.9 ⇒ radius 21,
+    * which hash-matches the exact oracle at the band BOTTOM (cos 0.9165)
+    * where the old fixed 16 measured 1995/2000. */
   def cosineDupPairsLsh(emb: DataFrame, threshold: Double,
-                        maxHamming: Int = 16,
+                        maxHamming: Int = -1,
                         maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
+    val radius = if (maxHamming > 0) maxHamming else srpRadiusFor(threshold)
     // no persist on the vector table: it has three consumers, but at the
     // 10⁶+-vector scale this path exists for, re-reading the source (with
     // column pruning) is the right trade — caching the full corpus is the
@@ -585,7 +610,7 @@ object TrainingOps {
     // ceiling past 10⁷ vectors per cap unit, at ~4× candidate-row cost.
     // Completeness is unchanged (≤ h differing bits leave ≥ 2 of the h+2
     // blocks untouched), and capHotKeys now WARNS when it drops keys.
-    val cands = simhashPairsFromFpsTwoStage(fps, maxHamming, maxBucketDf)
+    val cands = simhashPairsFromFpsTwoStage(fps, radius, maxBucketDf)
     cands
       .join(e.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))

@@ -196,6 +196,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("srpRadiusFor: auto radius = boundary mean + 4 sigma, capped at 31 " +
+       "(bucket-collapse bound); measured calibration points pinned") {
+    // threshold 0.9: θ = 25.84° ⇒ p = 0.1436 ⇒ mean 9.19, σ 2.81 ⇒ 21
+    assert(T.srpRadiusFor(0.9) == 21)
+    // the r5 measurement: fixed radius 16 ⇒ 1995/2000 at the 0.9 boundary;
+    // the auto radius must clear the measured worst pair (hamming ≤ 21 at
+    // cos 0.9165 over 2000 deterministic pairs — gate-verified at sf0.1)
+    assert(T.srpRadiusFor(0.9) > 16)
+    // deeper thresholds need smaller radii (monotone in threshold)
+    assert(T.srpRadiusFor(0.95) < T.srpRadiusFor(0.9))
+    assert(T.srpRadiusFor(0.99) < T.srpRadiusFor(0.95))
+    // research-low thresholds hit the pigeonhole cap (≤2-bit blocks would
+    // collapse buckets — round-2 failure mode): explicit radius territory
+    assert(T.srpRadiusFor(0.4) == 31)
+    // sigma knob: 0σ = just the boundary mean
+    assert(T.srpRadiusFor(0.9, sigmas = 0.0) == 10) // ceil(9.19)
+  }
+
   test("minhash LSH finds exact dup and skips unrelated") {
     val docs = Seq(
       (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
