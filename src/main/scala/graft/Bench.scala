@@ -28,7 +28,9 @@ import graft.crawler.{CrawlConfig, Crawler}
   *     actually engages mid-crawl), with a seen-set hash equality check
   *     against the exact-mode run.
   *
-  * Budget governance: SPARK_GRAFT_BENCH_BUDGET_S (default 2900 s) is a
+  * Budget governance: SPARK_GRAFT_BENCH_BUDGET_S (default 2600 s — the
+  * round-4 driver kill arrived at an unknown wall ≥ ~2400 s, and sbt/JVM
+  * startup sits outside the budget, so the default leaves real margin) is a
   * TOTAL wall budget from process start. Later phases are skipped — never
   * the artifact write — when the remaining budget can't fit them;
   * alternation reps degrade under pressure; cumulative calm-gate waiting is
@@ -326,7 +328,7 @@ object Bench {
     // harness killed the run at its own timeout with rc=124 and no JSON on
     // stdout — the bench must finish, degraded if necessary, strictly
     // inside the wall it is given)
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2900").toLong
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2600").toLong
     def elapsedS: Long = (System.currentTimeMillis() - tMain) / 1000
     def remainingS: Long = budgetS - elapsedS
 
