@@ -147,7 +147,7 @@ object Bench {
     *             pre-filter ACTIVATES mid-crawl and the rest of the run
     *             exercises the production seen-path (rebuild + broadcast
     *             probe + routed anti-join) at bench scale.
-    * CRAWL_RESULT carries a seen-set content hash (sum of xxhash64(url))
+    * CRAWL_RESULT carries a seen-set content hash (bit_xor of xxhash64(url))
     * so the parent can assert bloom-mode ≡ exact-mode equivalence at this
     * scale, not just at fixture scale. */
   private def crawlChild(cpus: Int, pagesPath: String, reps: Int,
