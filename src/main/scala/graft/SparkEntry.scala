@@ -339,16 +339,17 @@ object SparkEntry {
     "q_cosine_pairs" -> ((s, d) =>
       T.cosineDupPairsExact(t(s, d, "embeddings"), threshold = 0.4)),
 
-    // the SRP-LSH production path against the SAME exact-all-pairs oracle.
-    // Radius rationale: threshold 0.4 ⇒ θ up to 66.4° ⇒ E[sketch hamming]
-    // ≈ 23.6 of 64; the max observed hamming over the 59 qualifying sf0.01
-    // pairs is 30 (deterministic sketches), so radius 30 yields recall 1.0
-    // and the gate hash-matches the exact oracle. At such a LOW threshold
-    // LSH needs a wide radius by nature; production corpora dedup at
-    // cos ≥ 0.85-0.95 where the default radius 16 has large headroom.
+    // the SRP-LSH research-threshold path against the SAME exact-all-pairs
+    // oracle, fully AUTO: threshold 0.4 needs a 4σ radius of 40 on 64 bits
+    // — past the pigeonhole collapse bound 31, which is exactly why the
+    // 64-bit radius-30 gate measured 893/920 at sf0.1 (r5's one red row).
+    // The auto path now picks a 128-bit sketch there (relative σ halves ⇒
+    // srpRadiusForN(0.4, 128) = 70 IS a guaranteed-recall radius) and the
+    // gate hash-matches the exact oracle at BOTH scales. Production
+    // corpora dedup at cos ≥ 0.85-0.95 where the 64-bit two-stage branch
+    // (q_cosine_pairs_lsh_prod below) runs unchanged.
     "q_cosine_pairs_lsh" -> ((s, d) =>
-      T.cosineDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4,
-        maxHamming = 30)),
+      T.cosineDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4)),
 
     // the PRODUCTION-threshold SRP-LSH regime (round-4 verdict item 5,
     // hardened in round 5): cos ≥ 0.9 at the AUTO-CALIBRATED radius

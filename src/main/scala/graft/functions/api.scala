@@ -46,6 +46,10 @@ object gfn {
   def round_exact(x: Column, scale: Int): Column =
     column(RoundExactExpr(expression(x), scale))
   def srp_sketch(vec: Column): Column = column(SrpSketchExpr(expression(vec)))
+  def srp_sketch_n(vec: Column, words: Int): Column =
+    column(SrpSketchNExpr(expression(vec), words))
+  def hamming_words(a: Column, b: Column): Column =
+    column(HammingWordsExpr(expression(a), expression(b)))
 
   /** Bloom aggregate over a LONG hash column; shape from expected items/fpp. */
   def bloom_agg(hash: Column, expectedItems: Long, fpp: Double): Column = {
@@ -87,6 +91,11 @@ object gfn {
           es(0), org.apache.spark.sql.types.DoubleType),
         foldableIntArg("round_exact", "scale", es(1))), "built-in")
     reg1("srp_sketch", SrpSketchExpr.apply)
+    reg.createOrReplaceTempFunction("srp_sketch_n",
+      es => SrpSketchNExpr(es(0),
+        foldableIntArg("srp_sketch_n", "words", es(1))), "built-in")
+    reg.createOrReplaceTempFunction("hamming_words",
+      es => HammingWordsExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("extract_links",
       es => ExtractLinksExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("count_phrase",

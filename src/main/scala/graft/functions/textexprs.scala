@@ -198,6 +198,52 @@ object TextExprImpl {
     out
   }
 
+  /** `words`×64-bit sign-random-projection sketch — the wide
+    * generalization of [[srpSketch]] for low-threshold (research) dedup
+    * regimes where 64 bits cannot separate boundary pairs from noise.
+    * Global bit k = word·64 + i reuses the SAME per-(bit, dim) splitmix
+    * hyperplane derivation, so word 0 of the wide sketch IS the 64-bit
+    * sketch bit-for-bit (pinned in OpsSpec). */
+  def srpSketchN(vec: ArrayData, words: Int): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Any](words)
+    var w = 0
+    while (w < words) {
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        val k = w * 64 + i
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          if (!vec.isNullAt(d)) {
+            val sign = if ((splitmix(k.toLong * 1000003L + d) & 1L) == 1L) 1.0 else -1.0
+            acc += sign * vec.getDouble(d)
+          }
+          d += 1
+        }
+        if (acc > 0.0) bits |= 1L << i
+        i += 1
+      }
+      out(w) = bits
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance between two equal-length ARRAY<LONG> bit sketches
+    * (XOR + popcount per word; extra words on the longer side ignored). */
+  def hammingWords(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var h = 0
+    var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    h
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * rolling 64-bit hashes of every k-gram (by char), then the minimum hash
     * of each window of w consecutive k-grams, deduplicated, sorted. Robust
@@ -276,6 +322,38 @@ case class SrpSketchExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.srpSketch($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `srp_sketch_n(vec ARRAY<DOUBLE>, words) → ARRAY<LONG>` — `words`×64-bit
+  * wide SRP sketch (see [[TextExprImpl.srpSketchN]]; word 0 ≡ `srp_sketch`).
+  * Wide sketches shrink the RELATIVE Hamming spread (σ/mean ∝ 1/√nbits),
+  * which is what makes guaranteed-recall radii usable at low cosine
+  * thresholds where a 64-bit radius would have to exceed the pigeonhole
+  * collapse bound (TrainingOps.srpRadiusFor's cap 31). */
+case class SrpSketchNExpr(child: Expression, words: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_sketch_n"
+  override protected def nullSafeEval(v: Any): Any =
+    TextExprImpl.srpSketchN(v.asInstanceOf[ArrayData], words)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.srpSketchN($c, $words)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `hamming_words(a ARRAY<LONG>, b ARRAY<LONG>) → INT` — Hamming distance
+  * between wide bit sketches (codegen'd XOR+popcount, no higher-order
+  * function interpretation in the hot candidate-verify path). */
+case class HammingWordsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_words"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExprImpl.hammingWords(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextExprImpl.hammingWords($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `simhash_md5(tokens ARRAY<STRING>) → LONG` — the portable SimHash

@@ -503,6 +503,74 @@ object TrainingOps {
     out
   }
 
+  /** Bit-slice [lo, lo+width) of an ARRAY<LONG> sketch as a LONG (little-
+    * endian global bit order: bit k lives in word k/64 at position k%64 —
+    * matching [[graft.functions.TextExprImpl.srpSketchN]]). Width ≤ 64;
+    * the off==0 guard below matters because JVM long shifts are mod-64
+    * (shiftleft(w, 64) would be a no-op, not zero). */
+  private def sliceBitsWide(sh: Column, lo: Int, width: Int): Column = {
+    require(width >= 1 && width <= 64, s"width=$width")
+    val word = lo / 64
+    val off = lo % 64
+    val mask = if (width >= 64) -1L else (1L << width) - 1L
+    val w0 = shiftrightunsigned(element_at(sh, word + 1), off)
+    val c = if (off == 0 || off + width <= 64) w0
+            else w0.bitwiseOR(shiftleft(element_at(sh, word + 2), 64 - off))
+    c.bitwiseAND(lit(mask))
+  }
+
+  /** [[simhashPairsFromFps]] / [[simhashPairsFromFpsTwoStage]] generalized
+    * to WIDE (`nbits` = n×64) ARRAY<LONG> sketches — the candidate join
+    * behind the research-threshold branch of [[cosineDupPairsLsh]].
+    *
+    * Stage choice is automatic from the block geometry: block-PAIR keys
+    * (h+2 blocks, completeness: ≤ h differing bits leave ≥ 2 blocks clean)
+    * when a pair key keeps ≥ 7 bits — the hot-bucket-ceiling regime; else
+    * single-block keys (h+1 blocks, ≥ 1 clean block). At guaranteed-recall
+    * radii for LOW thresholds the blocks are 1-2 bits wide whichever way
+    * they are cut — that is not an implementation defect but the
+    * information-theoretic position of the problem (boundary pairs differ
+    * in ~θ/π of ALL bits, so exact-match keys must be narrow to survive
+    * h errors) — and there single-block keys are strictly cheaper:
+    * C(h+2,2) pair keys of ~2 widths would multiply the candidate volume
+    * ~h/4-fold over h+1 single keys for zero extra selectivity.
+    * Completeness (recall 1.0 within the radius) holds for BOTH stagings
+    * by pigeonhole; hamming verification is the codegen'd
+    * [[gfn.hamming_words]]. Bucket keys are (q, bucket-value) structs,
+    * df-capped with WARNs like every other pairwise join here. */
+  def simhashPairsFromFpsWide(sims: DataFrame, nbits: Int, maxHamming: Int,
+                              maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
+    require(nbits % 64 == 0 && nbits >= 64, s"nbits=$nbits")
+    require(maxHamming >= 1 && maxHamming <= nbits - 2, s"maxHamming=$maxHamming")
+    val pairKeyWidth = 2 * nbits / (maxHamming + 2)
+    val twoStage = pairKeyWidth >= 7
+    val nBlocks = if (twoStage) maxHamming + 2 else maxHamming + 1
+    val starts = (0 to nBlocks).map(i => i * nbits / nBlocks)
+    def block(q: Int): Column =
+      sliceBitsWide(col("sh"), starts(q), starts(q + 1) - starts(q))
+    val fps = sims.persist()
+    val keyCols: Seq[Column] =
+      if (twoStage)
+        for { i <- 0 until nBlocks; j <- i + 1 until nBlocks }
+          yield struct(block(i).as("b1"), block(j).as("b2"))
+      else
+        (0 until nBlocks).map(q => struct(block(q).as("b1"), lit(0L).as("b2")))
+    val keyed = fps.select(col("doc_id"), col("sh"),
+      posexplode(array(keyCols: _*)).as(Seq("q", "bucket")))
+    val capped = capHotKeys(keyed, maxBucketDf, "q", "bucket")
+    val l = capped.toDF("a", "sha", "q", "bucket")
+    val r = capped.toDF("b", "shb", "q", "bucket")
+    val result = l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        gfn.hamming_words(col("sha"), col("shb")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+    val out = result.localCheckpoint(true)
+    fps.unpersist()
+    out
+  }
+
   /** int8 max-abs quantization of the embedding column — the standard
     * 4× storage/bandwidth cut before ANN indexing at 100 TB scale. Pure
     * row-local array transform (zero shuffle); per-vector scale =
@@ -572,27 +640,63 @@ object TrainingOps {
     * explicit radius there. Larger radii also widen buckets (fewer bits
     * per block key): for ≥10⁷-vector corpora watch the df-cap WARNs and
     * consider an explicit radius or a higher threshold. */
-  def srpRadiusFor(threshold: Double, sigmas: Double = 4.0): Int = {
+  def srpRadiusFor(threshold: Double, sigmas: Double = 4.0): Int =
+    math.min(31, srpRadiusForN(threshold, 64, sigmas))
+
+  /** [[srpRadiusFor]] generalized to an `nbits`-wide SRP sketch: hamming ~
+    * Binomial(nbits, θ/π) at the threshold boundary, radius = mean +
+    * `sigmas`·σ. NOT capped at the 64-bit pigeonhole bound — the caller
+    * picks the sketch width precisely because the 64-bit cap is the thing
+    * being escaped; only a sanity clamp to [1, nbits−2] (the blocked join
+    * needs ≥ 2 blocks). Wide sketches shrink σ/mean ∝ 1/√nbits, so the
+    * guaranteed-recall radius moves toward the boundary mean as bits grow —
+    * 0.4 ⇒ 40 (uncapped) at 64 bits but 70/128 = 0.55·nbits at 128 bits vs
+    * 0.63·nbits at 64. The honest limit: block WIDTH nbits/(radius+2) tends
+    * to 1/(θ/π+ε) ≈ 2.7 bits regardless of nbits, so at research thresholds
+    * blocked candidate generation is inherently near-all-pairs — see
+    * [[cosineDupPairsLsh]]'s scaladoc for the full cost argument. */
+  def srpRadiusForN(threshold: Double, nbits: Int, sigmas: Double = 4.0): Int = {
+    require(nbits >= 16, s"nbits=$nbits")
     val theta = math.acos(math.min(math.max(threshold, -1.0), 1.0))
     val p = theta / math.Pi
-    val mean = 64.0 * p
-    val sigma = math.sqrt(64.0 * p * (1.0 - p))
-    math.min(31, math.max(1, math.ceil(mean + sigmas * sigma).toInt))
+    val mean = nbits * p
+    val sigma = math.sqrt(nbits * p * (1.0 - p))
+    math.min(nbits - 2, math.max(1, math.ceil(mean + sigmas * sigma).toInt))
   }
 
-  /** approximate embedding-cosine near-dup pairs at scale: 64-bit
-    * sign-random-projection sketches (gfn.srp_sketch — angular distance θ
-    * maps to expected Hamming 64·θ/π), candidates from the pigeonhole
-    * block self-join of the sketches, exact cosine verification on the
-    * candidates only. Candidates are bucket-bounded, never O(n²).
+  /** approximate embedding-cosine near-dup pairs at scale: sign-random-
+    * projection sketches (angular distance θ maps to expected Hamming
+    * nbits·θ/π), candidates from the pigeonhole block self-join of the
+    * sketches, exact cosine verification on the candidates only.
     * `maxHamming ≤ 0` (the default) auto-calibrates the radius from the
-    * threshold via [[srpRadiusFor]] — e.g. threshold 0.9 ⇒ radius 21,
-    * which hash-matches the exact oracle at the band BOTTOM (cos 0.9165)
-    * where the old fixed 16 measured 1995/2000. */
+    * threshold via [[srpRadiusFor]] / [[srpRadiusForN]] — e.g. threshold
+    * 0.9 ⇒ radius 21 of 64, which hash-matches the exact oracle at the
+    * band BOTTOM (cos 0.9165) where the old fixed 16 measured 1995/2000.
+    *
+    * Sketch WIDTH (`bits`, 0 = auto) is the round-6 generalization that
+    * closed the research-threshold recall gap: when the 4σ radius fits
+    * under the 64-bit pigeonhole collapse bound 31 (thresholds ≳ 0.62 —
+    * every production dedup regime), the proven 64-bit two-stage path
+    * runs unchanged and is bucket-bounded, never O(n²). Below that
+    * (research thresholds like 0.4, where 64-bit radius 31 measured
+    * 893/920 recall at sf0.1), a 128-bit sketch halves the relative σ so
+    * a guaranteed 4σ radius EXISTS (srpRadiusForN(0.4, 128) = 70 vs an
+    * uncappable 40/64) and recall 1.0 is restored. The honest cost
+    * statement for that regime: boundary pairs differ in ~θ/π ≈ 37% of
+    * ALL sketch bits, so complete blocked keys are 1-2 bits wide and
+    * candidates approach all-pairs — widening the sketch buys guaranteed
+    * recall, not sub-quadratic candidates (no exact-match banding can;
+    * at 10⁷+ vectors use the production threshold or accept sampling).
+    * The 64-bit production branch's scale story is unchanged. */
   def cosineDupPairsLsh(emb: DataFrame, threshold: Double,
                         maxHamming: Int = -1,
-                        maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
-    val radius = if (maxHamming > 0) maxHamming else srpRadiusFor(threshold)
+                        maxBucketDf: Long = DefaultMaxBucketDf,
+                        bits: Int = 0): DataFrame = {
+    val width = if (bits > 0) bits
+                else if (srpRadiusForN(threshold, 64) <= 31) 64 else 128
+    val radius = if (maxHamming > 0) maxHamming
+                 else if (width == 64) srpRadiusFor(threshold)
+                 else srpRadiusForN(threshold, width)
     // no persist on the vector table: it has three consumers, but at the
     // 10⁶+-vector scale this path exists for, re-reading the source (with
     // column pruning) is the right trade — caching the full corpus is the
@@ -600,17 +704,26 @@ object TrainingOps {
     // the round-2 ADVICE leak (never unpersisted in a long-lived session)
     val e = spread(emb).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val fps = e.select(col("vec_id").as("doc_id"), gfn.srp_sketch(col("v")).as("sh"))
-    // TWO-STAGE block-pair candidate keys (round-2 ADVICE): single-block
-    // pigeonhole keys at h=16 are only 64/17 ≈ 3-4 bits wide, so typical
-    // per-bucket df ≈ n/13 crosses the df cap near n ≈ 10⁶ and capping
-    // would silently erase recall exactly at the advertised scale. Block
-    // PAIRS give C(h+2,2) keys of ~2·(64/(h+2)) bits (h=16: 153 keys of
-    // ~7 bits vs 17 of ~3.7) — per-bucket df ≈ n/128, pushing the capping
-    // ceiling past 10⁷ vectors per cap unit, at ~4× candidate-row cost.
-    // Completeness is unchanged (≤ h differing bits leave ≥ 2 of the h+2
-    // blocks untouched), and capHotKeys now WARNS when it drops keys.
-    val cands = simhashPairsFromFpsTwoStage(fps, radius, maxBucketDf)
+    // TWO-STAGE block-pair candidate keys (round-2 ADVICE) on the 64-bit
+    // branch: single-block pigeonhole keys at h=16 are only 64/17 ≈ 3-4
+    // bits wide, so typical per-bucket df ≈ n/13 crosses the df cap near
+    // n ≈ 10⁶ and capping would silently erase recall exactly at the
+    // advertised scale. Block PAIRS give C(h+2,2) keys of ~2·(64/(h+2))
+    // bits (h=16: 153 keys of ~7 bits vs 17 of ~3.7) — per-bucket df ≈
+    // n/128, pushing the capping ceiling past 10⁷ vectors per cap unit,
+    // at ~4× candidate-row cost. Completeness is unchanged (≤ h differing
+    // bits leave ≥ 2 of the h+2 blocks untouched), and capHotKeys WARNS
+    // when it drops keys. The wide branch delegates the same stage choice
+    // to simhashPairsFromFpsWide's block geometry.
+    val cands =
+      if (width == 64) {
+        val fps = e.select(col("vec_id").as("doc_id"), gfn.srp_sketch(col("v")).as("sh"))
+        simhashPairsFromFpsTwoStage(fps, radius, maxBucketDf)
+      } else {
+        val fps = e.select(col("vec_id").as("doc_id"),
+          gfn.srp_sketch_n(col("v"), width / 64).as("sh"))
+        simhashPairsFromFpsWide(fps, width, radius, maxBucketDf)
+      }
     cands
       .join(e.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
       .join(e.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))

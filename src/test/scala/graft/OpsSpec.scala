@@ -214,6 +214,82 @@ class OpsSpec extends AnyFunSuite {
     assert(T.srpRadiusFor(0.9, sigmas = 0.0) == 10) // ceil(9.19)
   }
 
+  test("srpRadiusForN: wide-sketch radius math pinned; auto width escapes " +
+       "the 64-bit cap exactly where the cap binds") {
+    // 128-bit at research threshold 0.4: p = θ/π = 0.3690 ⇒ mean 47.23,
+    // σ 5.46 ⇒ ceil(47.23 + 4·5.46) = 70
+    assert(T.srpRadiusForN(0.4, 128) == 70)
+    // the SAME math at 64 bits says 40 — past the pigeonhole collapse
+    // bound 31, which is WHY srpRadiusFor caps there and the auto path in
+    // cosineDupPairsLsh must widen the sketch instead (r5's 893/920)
+    assert(T.srpRadiusForN(0.4, 64) == 40)
+    assert(T.srpRadiusFor(0.4) == 31)
+    // production threshold: uncapped 64-bit value ≡ the capped pin (21),
+    // so the auto path keeps the proven 64-bit branch there
+    assert(T.srpRadiusForN(0.9, 64) == 21)
+    // relative radius shrinks with bits (σ/mean ∝ 1/√nbits): that shrink
+    // is the entire value of the wide sketch
+    assert(T.srpRadiusForN(0.4, 128).toDouble / 128 <
+           T.srpRadiusForN(0.4, 64).toDouble / 64)
+    // monotone in threshold at 128 bits too
+    assert(T.srpRadiusForN(0.95, 128) < T.srpRadiusForN(0.9, 128))
+    assert(T.srpRadiusForN(0.9, 128) < T.srpRadiusForN(0.4, 128))
+  }
+
+  test("wide SRP sketch: word 0 ≡ the 64-bit sketch; hamming_words ≡ " +
+       "per-word bit_count(xor)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val s = emb.select(col("vec_id"), gfn.srp_sketch(col("v")).as("s64"),
+      gfn.srp_sketch_n(col("v"), 2).as("sw"))
+    assert(s.filter(element_at(col("sw"), 1) =!= col("s64")).count() == 0)
+    val a = s.select(col("vec_id").as("ia"), col("sw").as("wa"))
+    val b = s.select(col("vec_id").as("ib"), col("sw").as("wb"))
+    val bad = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(gfn.hamming_words(col("wa"), col("wb")) =!=
+        (bit_count(element_at(col("wa"), 1).bitwiseXOR(element_at(col("wb"), 1))) +
+         bit_count(element_at(col("wa"), 2).bitwiseXOR(element_at(col("wb"), 2)))))
+    assert(bad.count() == 0)
+  }
+
+  test("wide SRP pairs: blocked candidates ≡ brute-force hamming at both a " +
+       "two-stage and a degenerate single-stage radius") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(120)
+      .select(col("vec_id").as("doc_id"),
+        gfn.srp_sketch_n(
+          transform(col("embedding"), x => x.cast("double")), 2).as("sh"))
+      .localCheckpoint(true)
+    // radius 10 ⇒ pair keys 2·128/12 = 21 bits ⇒ two-stage; radius 70 ⇒
+    // pair keys would be 3 bits ⇒ single-stage. Pigeonhole completeness
+    // must make BOTH byte-identical to the all-pairs hamming filter.
+    val a = emb.toDF("ia", "wa")
+    val b = emb.toDF("ib", "wb")
+    val all = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia").as("a"), col("ib").as("b"),
+        gfn.hamming_words(col("wa"), col("wb")).cast("long").as("hamming"))
+      .localCheckpoint(true)
+    for (radius <- Seq(10, 70)) {
+      val brute = all.filter(col("hamming") <= radius)
+        .as[(Long, Long, Long)].collect().toSet
+      val blocked = T.simhashPairsFromFpsWide(emb, 128, radius)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(blocked == brute, s"radius $radius")
+      if (radius == 70) assert(brute.nonEmpty)
+    }
+  }
+
+  test("research-threshold LSH (auto 128-bit branch) ≡ exact pairs on the " +
+       "embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = T.cosineDupPairsExact(emb, 0.4).collect().map(_.toString).toSeq
+    val lsh = T.cosineDupPairsLsh(emb, 0.4).collect().map(_.toString).toSeq
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
   test("minhash LSH finds exact dup and skips unrelated") {
     val docs = Seq(
       (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
