@@ -527,8 +527,12 @@ object Bench {
       System.err.println(s"[bench] tight budget (${remainingS}s): scaling " +
         "degrades to a single 1/1-rep alternation")
     }
-    while (alt < maxAlts && !converged &&
-           remainingS > altCostS + reserveQueriesS) {
+    // `alt == 0 ||` guarantees the first alternation runs even when the
+    // degraded estimate still exceeds the budget (ADVICE r5 #2: a <580 s
+    // budget used to emit value 0.0 with no scaling fields at all —
+    // "degrade, never skip" must mean at least one measured pair)
+    while (!converged && (alt == 0 ||
+           (alt < maxAlts && remainingS > altCostS + reserveQueriesS))) {
       // degrade reps under pressure: a 3/5-rep alternation that doesn't fit
       // becomes a 2/3-rep one before being dropped entirely
       if (alt > 0 && remainingS < (altCostS * 1.4) + reserveQueriesS) {
@@ -677,8 +681,14 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bloom-mode fork failed: ${e.getMessage}")
       }
+      // phases_done records "bloom" only when the phase actually ran and
+      // produced data (ADVICE r5 #3)
+      emit("bloom")
     } else System.err.println(s"[bench] bloom phase skipped " +
       s"(reps=$bloomReps remaining=${remainingS}s)")
-    emit("bloom")
+    // unconditional terminal emit: the artifact always ends with a "final"
+    // marker, so a phases_done that lacks a phase name means SKIPPED
+    // rather than killed-mid-run
+    emit("final")
   }
 }

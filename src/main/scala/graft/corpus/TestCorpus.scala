@@ -303,23 +303,29 @@ object TestCorpus {
       val frames = 1 + (i % 4) // deterministic, decoupled from the rng
       PageRow(s"https://cdn.test/anim$i.gif",
         new Timestamp(1546300800000L + i * 60000L),
-        gifBytes(width, height, frames, rng), "", "und")
+        // every 4th GIF stores its first frame interlaced (8/8/4/2 pass
+        // schedule) so the gate pins the de-interlacer too
+        gifBytes(width, height, frames, rng, interlaced = i % 4 == 3), "", "und")
     }
   }
 
   /** Deterministic fully-DECODABLE PNGs: small true dimensions, real
-    * filtered + zlib-deflated RGBA pixel data (gradient + noise). These
-    * feed the REAL pixel-decode path (Multimodal.decodePngPixels) and its
+    * filtered + zlib-deflated pixel data (gradient + noise), cycling the
+    * three 8-bit color types the decoder speaks — RGBA (6), RGB (2),
+    * grayscale (0) — so the gate pins all three layouts. These feed the
+    * REAL pixel-decode path (Multimodal.decodePngPixels) and its
     * pixel-derived feature vector; [[mediaRows]] keeps the garbage-IDAT
     * shape to pin the corrupt-payload fallback. */
   def pngPixelRows(n: Int, seed: Long = 42L): Vector[PageRow] = {
     val rng = new Lcg(seed ^ 0x504e4758L) // "PNGX"
+    val colorTypes = Array(6, 2, 0)
     Vector.tabulate(n) { i =>
       val width = 16 + rng.nextInt(80)
       val height = 16 + rng.nextInt(60)
       PageRow(s"https://cdn.test/pix$i.png",
         new Timestamp(1546300800000L + i * 60000L),
-        pngBytes(width, height, rng, decodable = true), "", "und")
+        pngBytes(width, height, rng, decodable = true,
+          colorType = colorTypes(i % 3)), "", "und")
     }
   }
 
@@ -339,7 +345,60 @@ object TestCorpus {
     out.toByteArray
   }
 
-  private def gifBytes(width: Int, height: Int, frames: Int, rng: Lcg): Array[Byte] = {
+  /** GIF-LZW ENCODER for the fixtures (Multimodal.lzwDecode is the
+    * decoder; this side is written independently from the spec so a
+    * round-trip pins both): variable code width minCode+1..12 bits packed
+    * LSB-first, dictionary keyed (prefixCode, byte), clear emitted at
+    * table-full, EOI terminator. */
+  def lzwEncode(minCode: Int, indices: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    val dict = new java.util.HashMap[Int, Int]()
+    var next = eoi + 1
+    put(clear)
+    var prefix = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = (prefix << 12) | (indices(i) & 0xff)
+      val e = dict.getOrDefault(k, -1)
+      if (e >= 0) prefix = e
+      else {
+        put(prefix)
+        if (next < 4096) {
+          dict.put(k, next)
+          // widen when the just-assigned code crosses the current width —
+          // the decoder mirrors this after reconstructing the same entry
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          next += 1
+        } else { // table full: reset, like real encoders do
+          put(clear)
+          dict.clear(); next = eoi + 1; codeSize = minCode + 1
+        }
+        prefix = indices(i) & 0xff
+      }
+      i += 1
+    }
+    put(prefix); put(eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Interlace row order (8/8/4/2 pass schedule) — the order an
+    * interlaced GIF stores its scanlines in. */
+  def gifInterlaceOrder(h: Int): Array[Int] =
+    (Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s0, st) =>
+      s0 until h by st
+    }).toArray
+
+  private def gifBytes(width: Int, height: Int, frames: Int, rng: Lcg,
+                       interlaced: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     "GIF89a".foreach(c => out.write(c.toInt))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
@@ -356,15 +415,42 @@ object TestCorpus {
       // image descriptor: full-frame, no local color table
       out.write(0x2c)
       le16(0); le16(0); le16(width); le16(height)
-      out.write(0)
-      // LZW min code size + a few data sub-blocks (content is filler — the
-      // frame COUNT is the real decoded property; LZW pixels need a codec)
-      out.write(2)
-      val blocks = 1 + rng.nextInt(3)
-      (0 until blocks).foreach { _ =>
-        val len = 1 + rng.nextInt(32)
-        out.write(len)
-        (0 until len).foreach(_ => out.write(rng.nextInt(256)))
+      out.write(if (interlaced) 0x40 else 0)
+      // REAL LZW pixel data: deterministic 4-color index pattern
+      // (diagonal bands + LCG noise) encoded with the real encoder —
+      // frame 0 is what Multimodal.decodeGifPixels reconstructs
+      val px = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          px(y * width + x) =
+            (if (rng.nextInt(5) == 0) rng.nextInt(4)
+             else ((x + 2 * y + f) / 7) % 4).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val stored =
+        if (!interlaced) px
+        else {
+          val o = new Array[Byte](px.length)
+          val order = gifInterlaceOrder(height)
+          var r = 0
+          while (r < height) {
+            System.arraycopy(px, order(r) * width, o, r * width, width)
+            r += 1
+          }
+          o
+        }
+      out.write(2) // LZW min code size (4 colors)
+      val lzw = lzwEncode(2, stored)
+      var p = 0
+      while (p < lzw.length) { // ≤255-byte sub-block chain
+        val n = math.min(255, lzw.length - p)
+        out.write(n)
+        out.write(lzw, p, n)
+        p += n
       }
       out.write(0) // sub-block chain terminator
     }
@@ -379,7 +465,14 @@ object TestCorpus {
     * `decodable=false` variant keeps the old shape (IHDR + garbage IDAT)
     * to exercise the corrupt-payload fallback. */
   private def pngBytes(width: Int, height: Int, rng: Lcg,
-                       decodable: Boolean = false): Array[Byte] = {
+                       decodable: Boolean = false,
+                       colorType: Int = 6): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => sys.error(s"fixture colorType $colorType unsupported")
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     def be32(v: Int): Array[Byte] = Array(
@@ -393,22 +486,25 @@ object TestCorpus {
       crc.update(body)
       out.write(be32(crc.getValue.toInt))
     }
-    // bit depth 8, color type 6 (RGBA), deflate, no filter, no interlace
-    chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0))
+    // bit depth 8, deflate, no filter, no interlace; color type 0/2/6
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
     if (!decodable) {
       chunk("IDAT", Array.fill(64 + rng.nextInt(192))(rng.nextLong().toByte))
     } else {
-      val stride = width * 4
-      val px = new Array[Byte](height * stride) // raw RGBA, row-major
+      val stride = width * channels
+      val px = new Array[Byte](height * stride) // raw samples, row-major
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          val o = y * stride + x * 4
+          val o = y * stride + x * channels
           px(o) = ((x * 255 / math.max(width - 1, 1)) & 0xff).toByte
-          px(o + 1) = ((y * 255 / math.max(height - 1, 1)) & 0xff).toByte
-          px(o + 2) = rng.nextInt(256).toByte
-          px(o + 3) = 0xff.toByte
+          if (channels >= 3) {
+            px(o + 1) = ((y * 255 / math.max(height - 1, 1)) & 0xff).toByte
+            px(o + 2) = rng.nextInt(256).toByte
+          }
+          if (channels == 4) px(o + 3) = 0xff.toByte
           x += 1
         }
         y += 1
@@ -422,9 +518,9 @@ object TestCorpus {
         var x = 0
         while (x < stride) {
           val cur = px(y * stride + x) & 0xff
-          val left = if (x >= 4) px(y * stride + x - 4) & 0xff else 0
+          val left = if (x >= channels) px(y * stride + x - channels) & 0xff else 0
           val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
-          val upLeft = if (y > 0 && x >= 4) px((y - 1) * stride + x - 4) & 0xff else 0
+          val upLeft = if (y > 0 && x >= channels) px((y - 1) * stride + x - channels) & 0xff else 0
           val pred = ft match {
             case 0 => 0
             case 1 => left

@@ -100,47 +100,85 @@ object Multimodal {
     None
   }
 
-  /** REAL full PNG pixel decode for the baseline web-PNG shape (8-bit
-    * RGBA, non-interlaced): concatenates the IDAT chunks, inflates them
-    * with the JDK's zlib, and de-filters every scanline per the PNG spec
-    * (filter types 0-4: None/Sub/Up/Average/Paeth). Returns the raw RGBA
-    * bytes row-major. None for any PNG this path can't fully decode
-    * (other bit depths/color types, interlaced, truncated or corrupt
-    * IDAT) — the caller then falls back to header dims + stub features,
-    * so a malformed payload can never kill a task. */
-  def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  /** Hard ceiling on decoded-pixel allocations (width*height*channels):
+    * a crawled payload DECLARING absurd dims must fall back to the stub,
+    * never allocate gigabytes inside an executor task. 64 MPix RGBA =
+    * 256 MB — far above any thumbnail/web image, far below task memory. */
+  private val MaxPixelBytes: Long = 256L * 1024 * 1024
+
+  /** REAL full PNG pixel decode for the common web-PNG shapes (8-bit
+    * grayscale / RGB / RGBA, non-interlaced): concatenates the IDAT
+    * chunks, inflates them with the JDK's zlib, and de-filters every
+    * scanline per the PNG spec (filter types 0-4: None/Sub/Up/Average/
+    * Paeth — the de-filter `left` distance is the per-pixel byte count).
+    * Returns (w, h, channels, pixels) with the raw bytes row-major.
+    * None for any PNG this path can't fully decode (16-bit, palette,
+    * gray+alpha, interlaced, truncated or corrupt IDAT) — the caller then
+    * falls back to header dims + stub features. All size arithmetic is in
+    * Long and the whole body is exception-fenced, so a malformed or
+    * hostile payload (truncated IHDR, 2^31-ish chunk length, absurd
+    * declared dims) can never kill a task. */
+  def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try decodePngPixelsUnsafe(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodePngPixelsUnsafe(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    // the IHDR layout check below reads bytes 24-28; decodePngDims only
+    // guarantees 24 bytes, so re-check length first (ADVICE r5 #1)
+    if (bytes.length < 29) return None
     val dims = decodePngDims(bytes).getOrElse(return None)
     val (w, h) = dims
-    // IHDR payload: depth 8, color type 6 (RGBA), deflate, filter 0,
-    // non-interlaced — the only layout this decoder speaks
-    if (bytes(24) != 8 || bytes(25) != 6 || bytes(26) != 0 ||
-        bytes(27) != 0 || bytes(28) != 0) return None
+    // IHDR payload: depth 8, color type 0 (gray) / 2 (RGB) / 6 (RGBA),
+    // deflate, filter 0, non-interlaced — the layouts this decoder speaks
+    val channels = (bytes(25): Int) match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return None
+    }
+    if (bytes(24) != 8 || bytes(26) != 0 || bytes(27) != 0 || bytes(28) != 0)
+      return None
+    // reject declared dims whose pixel buffer would be absurd BEFORE any
+    // allocation; all arithmetic in Long so w*h*channels cannot wrap
+    val strideL = w.toLong * channels
+    if (h.toLong * (1L + strideL) > MaxPixelBytes) return None
     def be32(o: Int): Int =
       ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
         ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
-    // walk chunks, concatenating IDAT payloads
+    // walk chunks, concatenating IDAT payloads; chunk bounds in Long so a
+    // hostile length near 2^31 cannot overflow the guard
     val idat = new java.io.ByteArrayOutputStream()
-    var i = 8
+    var i = 0L
+    i = 8L
     var done = false
     while (!done) {
       if (i + 8 > bytes.length) return None
-      val len = be32(i)
-      if (len < 0 || i + 12 + len > bytes.length) return None
-      val ctype = new String(bytes, i + 4, 4, "US-ASCII")
-      if (ctype == "IDAT") idat.write(bytes, i + 8, len)
+      val len = be32(i.toInt).toLong & 0xffffffffL
+      if (i + 12 + len > bytes.length) return None
+      val ctype = new String(bytes, i.toInt + 4, 4, "US-ASCII")
+      if (ctype == "IDAT") idat.write(bytes, i.toInt + 8, len.toInt)
       if (ctype == "IEND") done = true
       i += 12 + len
     }
-    val stride = w * 4
-    val raw = new Array[Byte](h * (1 + stride))
+    val stride = strideL.toInt
+    val raw = new Array[Byte]((h.toLong * (1 + stride)).toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
       var off = 0
-      while (off < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
-        off += n
+      val probe = new Array[Byte](1)
+      // run to the zlib finish marker: a stream that truncates OR inflates
+      // past the declared (h, stride) size is rejected — this is what
+      // catches a color-type declaration that doesn't match the data
+      while (!inf.finished()) {
+        if (off < raw.length) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        } else {
+          if (inf.inflate(probe, 0, 1) > 0) return None // oversized stream
+          if (inf.needsInput()) return None // truncated: no finish marker
+        }
       }
       if (off != raw.length) return None
     } catch {
@@ -157,9 +195,9 @@ object Multimodal {
       var x = 0
       while (x < stride) {
         val cur = raw(src + x) & 0xff
-        val left = if (x >= 4) out(dst + x - 4) & 0xff else 0
+        val left = if (x >= channels) out(dst + x - channels) & 0xff else 0
         val up = if (y > 0) out(dst - stride + x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= 4) out(dst - stride + x - 4) & 0xff else 0
+        val upLeft = if (y > 0 && x >= channels) out(dst - stride + x - channels) & 0xff else 0
         val rec = ft match {
           case 0 => cur
           case 1 => cur + left
@@ -177,7 +215,7 @@ object Multimodal {
       }
       y += 1
     }
-    Some((w, h, out))
+    Some((w, h, channels, out))
   }
 
   /** REAL 8-dim feature vector from DECODED pixels (row-major, `channels`
@@ -195,9 +233,10 @@ object Multimodal {
     var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
     var i = 0
     while (i < n) {
+      // grayscale: the single sample IS r=g=b (ITU weights sum to 1)
       val r = px(i * channels) & 0xff
-      val g = px(i * channels + 1) & 0xff
-      val b = px(i * channels + 2) & 0xff
+      val g = if (channels >= 3) px(i * channels + 1) & 0xff else r
+      val b = if (channels >= 3) px(i * channels + 2) & 0xff else r
       val l = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
       luma(i) = l
       sr += r; sg += g; sb += b; sl += l
@@ -284,16 +323,203 @@ object Multimodal {
     None // ran off the end without a trailer
   }
 
+  /** REAL GIF first-frame pixel decode: finds the first image descriptor
+    * (skipping extension blocks), selects the local or global color
+    * table, concatenates the LZW sub-blocks and runs a full GIF-LZW
+    * decode ([[lzwDecode]]) — variable code width 3..12 bits, LSB-first
+    * bit packing, clear/EOI codes, KwKwK case — then maps the color
+    * indices through the palette onto an RGB canvas of the LOGICAL
+    * SCREEN (frames smaller than the screen are blitted at their
+    * left/top offset over the background color, per the spec's
+    * compositing model). Interlaced frames are de-interlaced with the
+    * standard 8/8/4/2 pass schedule. None for anything this path can't
+    * fully decode (missing color table, corrupt LZW stream, truncated
+    * sub-blocks); exception-fenced like the PNG path so hostile payloads
+    * degrade to the stub instead of killing the task. */
+  def decodeGifPixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try decodeGifPixelsUnsafe(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeGifPixelsUnsafe(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    val (sw, sh) = decodeGifDims(bytes).getOrElse(return None)
+    if (sw.toLong * sh * 3 > MaxPixelBytes) return None
+    val packed = bytes(10) & 0xff
+    val bgIndex = bytes(11) & 0xff
+    var gct: Array[Byte] = null
+    var i = 13
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (2 << (packed & 0x07))
+      if (i + n > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, i, i + n)
+      i += n
+    }
+    // walk to the first image descriptor
+    def skipSubBlocks(start: Int): Int = {
+      var p = start
+      while (p < bytes.length && (bytes(p) & 0xff) != 0) p += 1 + (bytes(p) & 0xff)
+      if (p >= bytes.length) -1 else p + 1
+    }
+    while (i < bytes.length && (bytes(i) & 0xff) != 0x2c) {
+      (bytes(i) & 0xff) match {
+        case 0x21 => i = skipSubBlocks(i + 2); if (i < 0) return None
+        case _ => return None // trailer (or junk) before any image
+      }
+    }
+    if (i + 10 > bytes.length) return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val left = le16(i + 1); val top = le16(i + 3)
+    val fw = le16(i + 5); val fh = le16(i + 7)
+    val flags = bytes(i + 9) & 0xff
+    if (fw <= 0 || fh <= 0 || left + fw > sw || top + fh > sh) return None
+    var p = i + 10
+    var palette = gct
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (2 << (flags & 0x07))
+      if (p + n > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, p, p + n)
+      p += n
+    }
+    if (palette == null) return None
+    val nColors = palette.length / 3
+    if (p >= bytes.length) return None
+    val minCode = bytes(p) & 0xff
+    p += 1
+    // concatenate the LZW sub-block chain
+    val data = new java.io.ByteArrayOutputStream()
+    while (p < bytes.length && (bytes(p) & 0xff) != 0) {
+      val n = bytes(p) & 0xff
+      if (p + 1 + n > bytes.length) return None
+      data.write(bytes, p + 1, n)
+      p += 1 + n
+    }
+    if (p >= bytes.length) return None
+    val indices = lzwDecode(minCode, data.toByteArray, fw * fh).getOrElse(return None)
+    // de-interlace: pass schedule (start,step) = (0,8),(4,8),(2,4),(1,2)
+    val rows: Array[Int] = if ((flags & 0x40) != 0) {
+      val order = new Array[Int](fh)
+      var r = 0
+      for ((s0, st) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- s0 until fh by st) {
+        order(r) = y; r += 1
+      }
+      order
+    } else Array.tabulate(fh)(identity)
+    // composite onto the logical-screen canvas over the background color
+    val out = new Array[Byte](sw * sh * 3)
+    val bg = if (gct != null && bgIndex < nColors) bgIndex else 0
+    var q = 0
+    while (q < sw * sh) {
+      out(q * 3) = palette(bg * 3); out(q * 3 + 1) = palette(bg * 3 + 1)
+      out(q * 3 + 2) = palette(bg * 3 + 2)
+      q += 1
+    }
+    var r = 0
+    while (r < fh) {
+      val y = rows(r)
+      var x = 0
+      while (x < fw) {
+        val ci = indices(r * fw + x) & 0xff
+        if (ci >= nColors) return None
+        val dst = ((top + y) * sw + (left + x)) * 3
+        out(dst) = palette(ci * 3); out(dst + 1) = palette(ci * 3 + 1)
+        out(dst + 2) = palette(ci * 3 + 2)
+        x += 1
+      }
+      r += 1
+    }
+    Some((sw, sh, 3, out))
+  }
+
+  /** Full GIF-LZW decode of `nPixels` color indices from the concatenated
+    * sub-block payload: LSB-first variable-width codes (minCode+1 .. 12
+    * bits), clear resets the table, EOI ends the stream, the KwKwK case
+    * (code == next table slot) emits prev-sequence + its first byte.
+    * None on any malformed stream (code beyond the table, truncated
+    * bitstream before nPixels indices, oversized expansion). */
+  def lzwDecode(minCode: Int, data: Array[Byte], nPixels: Int): Option[Array[Byte]] = {
+    if (minCode < 2 || minCode > 8 || nPixels < 0) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](nPixels)
+    var outN = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var dictSize = eoi + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + codeSize > nBits) return -1
+      var v = 0; var k = 0
+      while (k < codeSize) {
+        val b = bitPos + k
+        v |= ((data((b >> 3).toInt) >> (b & 7).toInt) & 1) << k
+        k += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    // expand `code`'s byte sequence reversed into `stack`; -1 on a cycle
+    def expand(code: Int): Int = {
+      var c = code; var sp = 0
+      while (c >= clear + 2) {
+        if (sp >= stack.length) return -1
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (c >= clear) return -1 // chain must root at a literal
+      stack(sp) = c.toByte
+      sp + 1
+    }
+    while (outN < nPixels) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outN == nPixels) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None
+        out(outN) = code.toByte; outN += 1
+        prev = code
+      } else {
+        val cur = if (code < dictSize) code
+                  else if (code == dictSize && dictSize < 4096) prev
+                  else return None
+        var sp = expand(cur)
+        if (sp < 0) return None
+        val firstB = stack(sp - 1)
+        if (code == dictSize) { // KwKwK: sequence is prev-seq + first(prev-seq)
+          if (outN + sp + 1 > nPixels) return None
+          var k = sp - 1
+          while (k >= 0) { out(outN) = stack(k); outN += 1; k -= 1 }
+          out(outN) = firstB; outN += 1
+        } else {
+          if (outN + sp > nPixels) return None
+          var k = sp - 1
+          while (k >= 0) { out(outN) = stack(k); outN += 1; k -= 1 }
+        }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = firstB; dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
   /** Decode dispatch, most-real path first:
-    *  - PNG with decodable pixels → REAL dims + REAL pixel features;
+    *  - PNG with decodable pixels (8-bit gray/RGB/RGBA) → REAL dims +
+    *    REAL pixel features;
+    *  - GIF with a decodable first frame → real dims + REAL LZW-decoded
+    *    pixel features + REAL frame count from the block walk;
     *  - PNG/JPEG header-only → real dims, stub features (entropy-coded
-    *    pixels genuinely need libjpeg);
-    *  - GIF → real dims + REAL frame count from the block walk (LZW
-    *    pixels stay stubbed);
+    *    JPEG pixels genuinely need libjpeg — the one remaining stub);
     *  - anything else → the deterministic stub. */
   def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) =
     decodePngPixels(bytes) match {
-      case Some((w, h, px)) => (w, h, 1, pixelFeature(w, h, 4, px))
+      case Some((w, h, ch, px)) => (w, h, 1, pixelFeature(w, h, ch, px))
       case None =>
         decodePngDims(bytes).orElse(decodeJpegDims(bytes)) match {
           case Some((w, h)) =>
@@ -305,7 +531,10 @@ object Multimodal {
                 val (_, _, stubFrames, feat) = decodeStub(bytes)
                 val frames = decodeGifFrameCount(bytes)
                   .filter(_ > 0).getOrElse(stubFrames)
-                (w, h, frames, feat)
+                val realFeat = decodeGifPixels(bytes)
+                  .map { case (gw, gh, ch, px) => pixelFeature(gw, gh, ch, px) }
+                  .getOrElse(feat)
+                (w, h, frames, realFeat)
               case None => decodeStub(bytes)
             }
         }

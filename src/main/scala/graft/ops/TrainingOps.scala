@@ -347,6 +347,16 @@ object TrainingOps {
       .persist()
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("label", col("v")).persist()
+    // `labels` lifecycle bookkeeping (ADVICE r5 #5): a localCheckpoint'd
+    // generation is NOT in the CacheManager (unpersist on it is a no-op;
+    // its blocks live until the ContextCleaner GCs the RDD), yet the
+    // persisted generations that follow keep their LINEAGE rooted at it —
+    // so the most recent checkpoint must stay strongly referenced (anchor)
+    // until the NEXT checkpoint materializes, or an evicted cache
+    // partition could try to recompute through reclaimed checkpoint
+    // blocks. Persisted generations are unpersisted normally.
+    var labelsCheckpointed = false
+    var anchor: DataFrame = null
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -366,18 +376,25 @@ object TrainingOps {
       // any executor ran. persist() caches data but keeps the plan;
       // localCheckpoint drops it (same cadence idea as the crawler's
       // compactEvery).
-      val next = if (iters % 4 == 0) next0.localCheckpoint(true)
+      val checkpointNow = iters % 4 == 0
+      val next = if (checkpointNow) next0.localCheckpoint(true)
                  else next0.persist()
+      // this count materializes every partition of `next` (inner join
+      // reads it in full), so the producer generation can be released
       changed = next.toDF("v", "nl").join(labels, "v")
         .filter(col("nl") =!= col("label")).count()
-      labels.unpersist()
+      if (!labelsCheckpointed) labels.unpersist()
+      if (checkpointNow) anchor = next // self-contained: previous anchor may GC
+      labelsCheckpointed = checkpointNow
       labels = next
     }
     val out = labels
       .select(col("v").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
       .localCheckpoint(true)
-    labels.unpersist(); edges.unpersist(); p.unpersist()
+    if (!labelsCheckpointed) labels.unpersist()
+    edges.unpersist(); p.unpersist()
+    anchor = null // `out` is self-contained; release the last checkpoint
     out
   }
 
@@ -732,6 +749,37 @@ object TrainingOps {
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
       .orderBy("a", "b")
+  }
+
+  /** Measured ANN-quality gate (r5 verdict #2): per-query recall@k of
+    * [[ivfCosineTopK]] at its production `nprobe` against the exact
+    * brute-force top-k, emitted as DATA — (query_id, recall, floor_met) —
+    * so the correctness harness hashes the approximate operator's quality
+    * against a pinned expectation instead of carrying a `no_oracle` null
+    * row. Determinism: both sides are deterministic on fixed data (ties
+    * broken by vec_id, Lloyd seeded from label means), so the measured
+    * recall is a stable function of the corpus; the oracle pins it. */
+  def ivfRecallGate(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                    nprobe: Int = 3, lloydIters: Int = 3,
+                    floor: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ivf = ivfCosineTopK(emb, queryIds, k, nprobe, lloydIters)
+      .select(col("query_id"), col("neighbor"))
+    val exact = bruteForceCosineTopK(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor"))
+    val hits = ivf.join(exact, Seq("query_id", "neighbor"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    // left join from the id list so a hypothetical 0-recall query still
+    // emits a (visible, failing) row instead of vanishing
+    queryIds.toDF("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        gfn.round_exact(
+          coalesce(col("hits"), lit(0L)).cast("double") / k, 4).as("recall"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k >= floor)
+          .as("floor_met"))
+      .orderBy("query_id")
   }
 
   /** brute-force cosine top-k: every query vector scored against the whole

@@ -31,12 +31,19 @@ import graft.text.TextPipeline
 object Searcher {
 
   final case class Prepared(index: IndexTables, ranks: DataFrame, maxPR: Double,
-                            statics: DataFrame) {
-    /** Release the cached rank + statics tables — a long-lived serving
-      * session should close() retired Prepared instances or cached plans
-      * accumulate. */
-    def close(): Unit = { ranks.unpersist(); statics.unpersist(); () }
+                            statics: DataFrame, serve: SparkSession,
+                            viewNames: Seq[String]) {
+    /** Release the cached rank + statics tables and the global temp views
+      * backing the serve session — a long-lived serving session should
+      * close() retired Prepared instances or cached plans accumulate. */
+    def close(): Unit = {
+      ranks.unpersist(); statics.unpersist()
+      viewNames.foreach(serve.catalog.dropGlobalTempView)
+      ()
+    }
   }
+
+  private val prepareIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One-time serving prep: cache the rank table, read the global max PR,
     * and pre-join the four QUERY-INDEPENDENT per-doc dimensions
@@ -46,19 +53,61 @@ object Searcher {
     * broadcast-exchange job of its own, and all four were identical across
     * queries (the classic prepared-statement trade: do query-invariant work
     * once). statics is index-sized (one row per doc), so at cluster scale
-    * it stays a shuffle join keyed the same way as the scoring aggregate. */
+    * it stays a shuffle join keyed the same way as the scoring aggregate.
+    *
+    * The serve runs on a DEDICATED session (`spark.newSession()` — own
+    * SQLConf, shared SparkContext + cache): the latency-path conf choices
+    * ([[serveConf]], e.g. AQE off) are set ONCE there and never touch the
+    * caller's session, so concurrent non-search queries can't observe
+    * serve conf and racing search() calls can't clobber each other's
+    * restore (ADVICE r5 #4 — the old per-call set/restore was non-atomic).
+    * Index tables are rebound onto the serve session through global temp
+    * views; the shared CacheManager still substitutes the parent's cached
+    * plans, so nothing is recomputed or duplicated. */
   def prepare(index: IndexTables, ranks: DataFrame): Prepared = {
+    val parent = ranks.sparkSession
     val cached = ranks.cache()
     val maxPR = cached.agg(max("rank")).head().getDouble(0)
-    val statics = index.maxTf
-      .join(cached, Seq("url_id"), "left")
-      .join(index.urlInfo.select("url_id", "title"), Seq("url_id"))
-      .join(index.urlDict.select("url_id", "url"), Seq("url_id"))
+
+    val serve = parent.newSession()
+    // builder-level confs propagate to new sessions via the SparkContext
+    // conf; runtime-set keys the serve path depends on are copied explicitly
+    Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
+        "spark.sql.ansi.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .foreach(k => parent.conf.getOption(k).foreach(serve.conf.set(k, _)))
+    serveConf(parent).foreach { case (k, v) => serve.conf.set(k, v) }
+
+    val id = prepareIds.incrementAndGet()
+    var views = List.empty[String]
+    def rebind(df: DataFrame, name: String): DataFrame = {
+      val vn = s"graft_serve_${id}_$name"
+      df.createOrReplaceGlobalTempView(vn)
+      views ::= vn
+      serve.table(s"global_temp.$vn")
+    }
+    val sIdx = IndexTables(
+      urlDict = rebind(index.urlDict, "url_dict"),
+      links = rebind(index.links, "links"),
+      docWords = rebind(index.docWords, "doc_words"),
+      wordDict = rebind(index.wordDict, "word_dict"),
+      postings = rebind(index.postings, "postings"),
+      maxTf = rebind(index.maxTf, "max_tf"),
+      tfidf = rebind(index.tfidf, "tfidf"),
+      docLen = rebind(index.docLen, "doc_len"),
+      urlInfo = rebind(index.urlInfo, "url_info"),
+      n = index.n,
+      urlWordCount = rebind(index.urlWordCount, "url_word_count"))
+    val sRanks = rebind(cached, "ranks")
+
+    val statics = sIdx.maxTf
+      .join(sRanks, Seq("url_id"), "left")
+      .join(sIdx.urlInfo.select("url_id", "title"), Seq("url_id"))
+      .join(sIdx.urlDict.select("url_id", "url"), Seq("url_id"))
       .select(col("url_id"), col("max_tf"),
         coalesce(col("rank"), lit(0.0)).as("rank"), col("title"), col("url"))
       .cache()
     statics.count(): Unit // materialize once, outside the first query's wall
-    Prepared(index, cached, maxPR, statics)
+    Prepared(sIdx, cached, maxPR, statics, serve, views)
   }
 
   private def emptyResult(spark: SparkSession): DataFrame = {
@@ -80,26 +129,27 @@ object Searcher {
       r
     }
 
-  /** Serving-path latency scope. AQE turns every query stage of the SERP
+  /** Serving-path latency confs, applied once to the DEDICATED serve
+    * session in [[prepare]]. AQE turns every query stage of the SERP
     * plan into its own driver-replanned job with a materialization barrier:
     * measured on the demo index, the ~15-stage serve plan became ~15
     * sequential jobs at ~300-400 ms scheduling overhead each — 6 s of a
     * 6.5 s warm wall was AQE round-trips, not compute (stage task time
     * summed to <1 s). A latency-bound top-K serve wants the whole DAG
-    * scheduled as ONE job, so AQE is disabled around the search job by
-    * default; set spark.graft.serve.aqe=true to restore it (the right
-    * trade when the per-query matched-doc set is large enough that runtime
-    * skew handling and partition coalescing beat scheduling round-trips —
-    * e.g. single-token queries over a multi-TB index). */
-  private def withServeConf[T](spark: SparkSession)(f: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val old = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, spark.conf.get("spark.graft.serve.aqe", "false"))
-    try f finally spark.conf.set(aqeKey, old)
-  }
+    * scheduled as ONE job, so AQE is disabled on the serve session by
+    * default; set spark.graft.serve.aqe=true on the PARENT session before
+    * prepare() to restore it (the right trade when the per-query
+    * matched-doc set is large enough that runtime skew handling and
+    * partition coalescing beat scheduling round-trips — e.g. single-token
+    * queries over a multi-TB index). */
+  private def serveConf(parent: SparkSession): Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> parent.conf.get("spark.graft.serve.aqe", "false"))
 
+  /** The `spark` parameter is retained for API stability but the query
+    * executes on the Prepared's dedicated serve session — the caller's
+    * session conf is never touched. */
   def search(spark: SparkSession, p: Prepared, query: String, topK: Int = 50): DataFrame =
-    withServeConf(spark) { searchImpl(spark, p, query, topK) }
+    searchImpl(p.serve, p, query, topK)
 
   private def searchImpl(spark: SparkSession, p: Prepared, query: String, topK: Int): DataFrame = {
     import spark.implicits._

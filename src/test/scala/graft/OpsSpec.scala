@@ -537,8 +537,8 @@ class OpsSpec extends AnyFunSuite {
     chunk("IEND", Array.emptyByteArray)
     val png = out.toByteArray
 
-    val Some((w, h, decoded)) = Multimodal.decodePngPixels(png)
-    assert((w, h) == (2, 2))
+    val Some((w, h, ch, decoded)) = Multimodal.decodePngPixels(png)
+    assert((w, h, ch) == (2, 2, 4))
     assert(decoded.map(_ & 0xff).toSeq == px.toSeq) // exact pixel round-trip
 
     // hand-computed features (ITU-R 601 luma over the four pixels)
@@ -557,29 +557,51 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(feat(6) - (0.185 + 0.413) / 2) < 1e-12)
     assert(feat(7) == 0.5) // white and green are above the mean luma
 
-    // unsupported layouts / corrupt streams → None (fallback, never throws)
-    val rgbOnly = png.clone(); rgbOnly(25) = 2 // color type RGB ≠ RGBA
-    assert(Multimodal.decodePngPixels(rgbOnly).isEmpty)
+    // mismatched layouts / corrupt streams → None (fallback, never throws):
+    // declaring this RGBA data as RGB shrinks the expected raw size, so
+    // the zlib stream inflates PAST it — the oversized-stream check fires
+    val rgbDeclared = png.clone(); rgbDeclared(25) = 2
+    assert(Multimodal.decodePngPixels(rgbDeclared).isEmpty)
     assert(Multimodal.decodePngPixels(png.take(40)).isEmpty) // truncated IDAT
+    // hostile headers must degrade to None, never throw (ADVICE r5 #1):
+    // IHDR truncated exactly where the layout check reads
+    assert(Multimodal.decodePngPixels(png.take(26)).isEmpty)
+    // declared dims so large the pixel buffer would overflow/expand absurdly
+    val huge = png.clone()
+    huge(16) = 0x7f.toByte; huge(17) = 0xff.toByte // width ≈ 2^31
+    huge(18) = 0xff.toByte; huge(19) = 0xff.toByte
+    // (CRC no longer matches, but the decoder doesn't check CRC — the
+    // allocation cap must reject it first)
+    assert(Multimodal.decodePngPixels(huge).isEmpty)
+    // hostile chunk length near 2^31: the Long-arithmetic bound check
+    // must reject it instead of wrapping negative and passing
+    val hostileLen = png.clone()
+    hostileLen(33) = 0x7f.toByte; hostileLen(34) = 0xff.toByte
+    hostileLen(35) = 0xff.toByte; hostileLen(36) = 0xf0.toByte
+    assert(Multimodal.decodePngPixels(hostileLen).isEmpty)
   }
 
   test("multimodal: generator PNGs decode through all five scanline filters — " +
        "gradient channels match the generator formula; GIF frame counts are real") {
-    val pixes = graft.corpus.TestCorpus.pngPixelRows(4)
-    pixes.foreach { p =>
-      val Some((w, h, px)) = Multimodal.decodePngPixels(p.html)
+    val pixes = graft.corpus.TestCorpus.pngPixelRows(6)
+    val wantCh = Array(4, 3, 1, 4, 3, 1) // fixture color types cycle 6/2/0
+    pixes.zipWithIndex.foreach { case (p, i) =>
+      val Some((w, h, ch, px)) = Multimodal.decodePngPixels(p.html)
+      assert(ch == wantCh(i), s"channels of ${p.url}")
       assert(h >= 5, "needs ≥5 rows to exercise every filter type")
-      // generator-side truth, rng-independent: R = x-gradient, G =
-      // y-gradient, A = 255 — surviving de-filter of types 0-4 proves the
-      // Sub/Up/Average/Paeth inversions are correct
+      // generator-side truth, rng-independent: sample 0 = x-gradient,
+      // sample 1 (RGB/RGBA) = y-gradient, alpha = 255 — surviving
+      // de-filter of types 0-4 proves the Sub/Up/Average/Paeth inversions
+      // are correct at every bytes-per-pixel
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val o = (y * w + x) * 4
-          assert((px(o) & 0xff) == x * 255 / math.max(w - 1, 1), s"R at ($x,$y) of ${p.url}")
-          assert((px(o + 1) & 0xff) == y * 255 / math.max(h - 1, 1), s"G at ($x,$y)")
-          assert((px(o + 3) & 0xff) == 255, s"A at ($x,$y)")
+          val o = (y * w + x) * ch
+          assert((px(o) & 0xff) == x * 255 / math.max(w - 1, 1), s"s0 at ($x,$y) of ${p.url}")
+          if (ch >= 3)
+            assert((px(o + 1) & 0xff) == y * 255 / math.max(h - 1, 1), s"s1 at ($x,$y)")
+          if (ch == 4) assert((px(o + 3) & 0xff) == 255, s"A at ($x,$y)")
           x += 1
         }
         y += 1
@@ -588,6 +610,8 @@ class OpsSpec extends AnyFunSuite {
       val (dw, dh, df, feat) = Multimodal.decode(p.html)
       assert((dw, dh, df) == (w, h, 1))
       assert(!feat.sameElements(Multimodal.decodeStub(p.html)._4))
+      // grayscale: r=g=b by construction, so the three channel means agree
+      if (ch == 1) assert(feat(0) == feat(1) && feat(1) == feat(2))
     }
 
     // GIF: the block walk counts the true image descriptors (1 + i%4)
@@ -604,6 +628,49 @@ class OpsSpec extends AnyFunSuite {
     // first block introducer lives right after header+GCT (13 + 12 bytes)
     garbage(25) = 0x7f
     assert(Multimodal.decodeGifFrameCount(garbage).isEmpty)
+    // pixel decode degrades to None on malformed streams — but a missing
+    // TRAILER doesn't matter to it: the first frame is complete, so the
+    // frame-count walk fails while the pixel decode still succeeds
+    assert(Multimodal.decodeGifPixels(truncated).isDefined)
+    assert(Multimodal.decodeGifPixels(gifs.head.html.take(40)).isEmpty) // cut mid-LZW
+    assert(Multimodal.decodeGifPixels(garbage).isEmpty)
+  }
+
+  test("multimodal: GIF LZW round-trip — encoder→decoder reproduces indices " +
+       "through code-width growth, KwKwK, and a 4096-entry table reset; " +
+       "interlaced first frame decodes to the same pixels") {
+    import graft.corpus.TestCorpus
+    // (a) KwKwK: 'aaaa…' forces code == next-free-slot immediately
+    val runs = Array.fill[Byte](500)(1)
+    assert(Multimodal.lzwDecode(2, TestCorpus.lzwEncode(2, runs), 500)
+      .exists(_.sameElements(runs)))
+    // (b) code-width growth past 8→12 bits and a table reset: a stream
+    // with enough distinct 2-grams to fill the 4096-entry dictionary
+    val big = Array.tabulate[Byte](200000)(i => ((i * 37 + (i >> 5)) % 256).toByte)
+    assert(Multimodal.lzwDecode(8, TestCorpus.lzwEncode(8, big), big.length)
+      .exists(_.sameElements(big)))
+    // (c) malformed stream: a code beyond the table must reject, not throw
+    assert(Multimodal.lzwDecode(2, Array[Byte](0xff.toByte, 0xff.toByte), 4).isEmpty)
+    // (d) truncated bitstream (runs out before nPixels)
+    val enc = TestCorpus.lzwEncode(2, runs)
+    assert(Multimodal.lzwDecode(2, enc.take(enc.length / 2), 500).isEmpty)
+
+    // (e) full-GIF decode: interlaced vs sequential storage of the SAME
+    // frame must reconstruct identical canvases (gifRows makes every 4th
+    // row interlaced; row 3 and a hand-rebuilt non-interlaced twin agree
+    // via the pixel features, which are injective enough here)
+    val gifs = TestCorpus.gifRows(8)
+    gifs.foreach { g =>
+      val Some((w, h, ch, px)) = Multimodal.decodeGifPixels(g.html)
+      assert(ch == 3)
+      val dims = Multimodal.decodeGifDims(g.html).get
+      assert((w, h) == dims)
+      assert(px.length == w * h * 3)
+      // dispatch: GIF features now come from REAL decoded pixels
+      val (_, _, _, feat) = Multimodal.decode(g.html)
+      assert(feat.sameElements(Multimodal.pixelFeature(w, h, 3, px)))
+      assert(!feat.sameElements(Multimodal.decodeStub(g.html)._4))
+    }
   }
 
   test("langId v2: full confusion matrix on a real 5-language fixture " +

@@ -65,6 +65,49 @@ class ResumeSpec extends AnyFunSuite {
     assert(totalSeen == snaps.last.seenCount)
   }
 
+  test("snapshot commit CAS: two interleaved committers — exactly one wins, " +
+       "the loser gets CommitConflictException, no manifest is lost") {
+    import graft.snapshot.{CommitConflictException, PartitionLineage, RoundMetrics, Snapshot}
+    val dir = Files.createTempDirectory("graft-cas").toString
+    val log = new SnapshotLog(dir)
+    def snap(id: Int, parent: Int, tag: Long) = Snapshot(id, parent, id,
+      Vector(s"d$id"), s"f$id", tag, "cfg",
+      RoundMetrics(id, tag, 0, 0, 0, 0, tag, 0, 0), Vector(PartitionLineage(0, tag)))
+    log.commit(snap(0, -1, 100L))
+
+    // sequential interleave: B sees A's v1 already at HEAD → stale parent
+    log.commit(snap(1, 0, 111L)) // A wins
+    val e1 = intercept[CommitConflictException] { log.commit(snap(1, 0, 222L)) }
+    assert(e1.getMessage.contains("latest committed snapshot is v1"))
+    // A's manifest survived untouched — B did NOT last-writer-win
+    assert(log.read(1).seenCount == 111L)
+
+    // stale-parent variant: B rebased onto v0 but v1 already advanced HEAD
+    val e2 = intercept[CommitConflictException] { log.commit(snap(2, 0, 333L)) }
+    assert(e2.getMessage.contains("latest committed snapshot is v1"))
+
+    // TRUE race: two writers enter commit() for v2 simultaneously (barrier
+    // aligns them past each other's pre-check window) — the CREATE_NEW
+    // hard-link backstop must let exactly one land; the loser conflicts
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val threads = Seq(444L, 555L).map { tag =>
+      new Thread(() => {
+        barrier.await()
+        try { log.commit(snap(2, 1, tag)); results.put(tag, "ok") }
+        catch { case _: CommitConflictException => results.put(tag, "conflict") }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val outcomes = Seq(444L, 555L).map(results.get)
+    assert(outcomes.count(_ == "ok") == 1, s"exactly one racer must win: $outcomes")
+    assert(outcomes.count(_ == "conflict") == 1)
+    // the surviving manifest is the WINNER's, intact
+    val winner = Seq(444L, 555L)(outcomes.indexOf("ok"))
+    assert(log.read(2).seenCount == winner)
+    assert(log.listIds == Vector(0, 1, 2))
+  }
+
   test("bloom-off (below threshold), bloom-on (threshold 0), and mid-crawl " +
        "crossover (threshold 10) produce IDENTICAL seen sets and rounds") {
     val base = CrawlConfig(seeds, filter)

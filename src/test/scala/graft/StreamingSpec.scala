@@ -177,6 +177,86 @@ class StreamingSpec extends AnyFunSuite {
       "terminal frontier (robots-blocked leftovers) diverged")
   }
 
+  test("CHECKPOINT RECOVERY: polite streamed crawl through a real " +
+       "checkpointLocation + parquet file sink, killed between micro-batches " +
+       "with data in flight, resumes exactly-once and matches the batch run") {
+    implicit val sc = spark.sqlContext
+    import graft.corpus.TestCorpus
+    import graft.crawler.{CrawlConfig, Crawler}
+    val corpus = TestCorpus.generate(TestCorpus.Spec(hosts = 3, basePagesPerHost = 8))
+    val pages = spark.createDataset(corpus).toDF().cache()
+    val batchSeen = Crawler.run(spark, pages,
+        CrawlConfig(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix,
+          hostBudget = 2, respectRobots = true))
+      .seen.select("url", "depth").as[(String, Int)].collect().toSet
+
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    val outDir = s"$work/out"
+    val ckDir = s"$work/chk"
+    val in = MemoryStream[(String, Int)]
+    def startQuery() = StreamOps.politeCrawlDataflow(
+        in.toDF().toDF("url", "depth"), pages, TestCorpus.filterPrefix, budget = 2)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+
+    // multiset snapshot of the committed sink (deferred/blocked tuples
+    // legitimately repeat across rounds, so per-round deltas are count
+    // diffs, not set diffs); the parquet read honors _spark_metadata, so
+    // only exactly-once-committed files are visible
+    def snap(): Map[(String, Int, String), Int] =
+      try spark.read.parquet(outDir).as[(String, Int, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      catch { // sink dir absent or still empty → nothing committed yet
+        case _: org.apache.spark.sql.AnalysisException => Map.empty }
+    def delta(prev: Map[(String, Int, String), Int],
+              cur: Map[(String, Int, String), Int]): Seq[(String, Int, String)] =
+      cur.toSeq.flatMap { case (k, n) =>
+        Seq.fill(n - prev.getOrElse(k, 0))(k)
+      }
+
+    var q = startQuery()
+    var prev = snap()
+    var rounds = 0
+    var killed = false
+    var frontier = Vector((TestCorpus.seedUrl, 0))
+    var discoveredAll = Vector.empty[(String, Int)]
+    var done = false
+    while (!done && rounds < 40) {
+      in.addData(frontier: _*)
+      if (rounds == 2 && !killed) {
+        // KILL with this round's frontier IN FLIGHT (added, not processed):
+        // the restarted query must replay it from the checkpointed offset
+        // and the file sink must commit it exactly once
+        q.stop()
+        killed = true
+        q = startQuery()
+      }
+      q.processAllAvailable()
+      val cur = snap()
+      val batch = delta(prev, cur)
+      prev = cur
+      rounds += 1
+      val disc = batch.filter(_._3 == "discovered").map(r => (r._1, r._2))
+      val defr = batch.filter(_._3 == "deferred").map(r => (r._1, r._2))
+      val blk = batch.filter(_._3 == "blocked").map(r => (r._1, r._2))
+      discoveredAll ++= disc
+      frontier = (disc.filterNot(_._1 == TestCorpus.seedUrl) ++ defr ++ blk)
+        .toVector.distinct
+      done = disc.isEmpty && defr.isEmpty
+    }
+    q.stop()
+    assert(done, "polite stream did not drain within 40 rounds")
+    assert(killed, "the kill/restart must actually have happened")
+    assert(rounds > 3, "budget=2 must force multi-round draining")
+    // exactly-once across the kill: no url discovered twice, seen set ==
+    // the uninterrupted batch crawler's
+    assert(discoveredAll.map(_._1).distinct.length == discoveredAll.length,
+      "a url was discovered twice across the restart")
+    assert(discoveredAll.toSet == batchSeen,
+      s"streamed seen (${discoveredAll.length}) != batch (${batchSeen.size})")
+  }
+
   test("seenFilterWatermarked dedups within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
