@@ -166,6 +166,25 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- scans / filters / projections (S2-S4, F-ops) --------
+    // catalog-BUCKETED source (round 6): the documents table written
+    // bucketed by the join key and fetch-joined against a frontier of ids —
+    // the 10^10-scale form of the crawl's fetch join (PagesTable scaladoc:
+    // the pages side never shuffles; plan pinned in SourcesSpec). The gate
+    // verifies the bucketed read path returns exactly the rows the plain
+    // table would.
+    "q_bucketed_fetch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      s.sql("DROP TABLE IF EXISTS graft_gate_docs_bucketed")
+      val path = java.nio.file.Files.createTempDirectory("graft-bucketed-gate")
+      graft.sources.PagesTable.writeBucketed(docs, "graft_gate_docs_bucketed",
+        s"$path/docs", buckets = 8, key = "doc_id")
+      val bucketed = graft.sources.PagesTable.readBucketed(s, "graft_gate_docs_bucketed")
+      val frontier = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      bucketed.join(frontier, Seq("doc_id"), "inner")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q_scan_filter" -> ((s, d) => {
       t(s, d, "lineitem")
         .filter(col("l_shipdate") < lit("1995-06-17").cast("timestamp") &&
@@ -899,6 +918,12 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+
+    // the bucketed layout is an optimization, not a semantics change: the
+    // oracle is the plain semi-join on the parquet table
+    "q_bucketed_fetch" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     "q_scan_filter" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
