@@ -125,24 +125,71 @@ object Crawler {
       .filter(length(col("prefix")) > 0)
       .groupBy("host").agg(collect_list("prefix").as("prefixes"))
 
-  /** Exact per-host top-B by (depth, url), computed without a hot-host
-    * straggler: phase 1 caps each (host, salt) bucket at B (a row in the
-    * global per-host top-B is in its bucket's top-B a fortiori), phase 2
-    * ranks the ≤ B·S survivors per host. With B = ∞ politeness is a no-op
-    * and we skip both windows (reference behavior). */
-  private def politenessSelect(frontier: DataFrame, budget: Int, salts: Int): DataFrame = {
-    if (budget == Int.MaxValue) return frontier
-    val ordered = Seq(col("depth").asc, col("url").asc)
-    val pre =
-      if (salts > 1) {
-        val w1 = Window.partitionBy(col("host"), pmod(xxhash64(col("url")), lit(salts)))
-          .orderBy(ordered: _*)
-        frontier.withColumn("__rn1", row_number().over(w1))
-          .filter(col("__rn1") <= budget).drop("__rn1")
-      } else frontier
-    val w2 = Window.partitionBy(col("host")).orderBy(ordered: _*)
-    pre.withColumn("__rn", row_number().over(w2))
-      .filter(col("__rn") <= budget).drop("__rn")
+  /** One-pass candidate selection: TAGS every frontier row instead of
+    * filtering, so the deferred remainder (frontier ∖ selected) falls out
+    * of the same pass as the selection. The previous shape computed
+    * `selected` with the politeness windows and then recovered the
+    * remainder with `frontier LEFT ANTI JOIN selected` — two extra
+    * url-shuffles of the ENTIRE frontier per round, pure politeness-mode
+    * tax at 10^10-frontier scale. Here the windows order by
+    * (eligible DESC, depth, url): eligible rows rank 1..E ahead of every
+    * ineligible row, so `eligible && rn <= B` is exactly the old per-host
+    * top-B-of-eligible and everything else is the deferred remainder —
+    * two filters over ONE materialized tagged plan, no join.
+    *
+    * Selection semantics are unchanged (EngineOracleSpec pins per-round
+    * selected counts, the seen set, and frontier contents+depths vs the
+    * reference oracle):
+    *   - budget = ∞: eligibility alone decides; no window at all;
+    *   - salts > 1: phase 1 caps each (host, salt) bucket at B without a
+    *     hot-host single-task partition (a row in the global per-host
+    *     top-B is in its bucket's top-B a fortiori); phase 2 ranks the
+    *     ≤ B·S survivors per host — survivors are all eligible, so phase
+    *     2 orders by (depth, url) alone;
+    *   - salts = 1: one window over the host.
+    *
+    * Returns (selected, deferred, checkpointed): selected ⊎ deferred ≡
+    * frontier (projected to url/host/depth), and `checkpointed` holds the
+    * eagerly-materialized tagged intermediates — the caller must keep
+    * them strongly referenced until the NEXT round's plans materialize
+    * (unpersist on a checkpointed DF is a no-op; the blocks are reclaimed
+    * by the ContextCleaner once unreferenced). */
+  private def tagAndSplit(frontier: DataFrame, eligible: Column,
+                          budget: Int, salts: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val outCols = Seq(col("url"), col("host"), col("depth"))
+    // drop the robots `prefixes` array BEFORE any materialization: it is
+    // per-host metadata and would otherwise be copied into every row of
+    // the checkpoint
+    val base = frontier.withColumn("__elig", eligible)
+      .select(outCols :+ col("__elig"): _*)
+    if (budget == Int.MaxValue) {
+      // eligibility alone decides — both branches are shuffle-free filters
+      // (the robots join is a broadcast), so one materialization suffices
+      val ann = base.localCheckpoint(true)
+      (ann.filter(col("__elig")).select(outCols: _*),
+       ann.filter(!col("__elig")).select(outCols: _*), Seq(ann))
+    } else if (salts > 1) {
+      val w1 = Window.partitionBy(col("host"), pmod(xxhash64(col("url")), lit(salts)))
+        .orderBy(col("__elig").desc, col("depth").asc, col("url").asc)
+      val ann1 = base.withColumn("__rn1", row_number().over(w1)).localCheckpoint(true)
+      val sel1 = col("__elig") && col("__rn1") <= budget
+      val w2 = Window.partitionBy(col("host"))
+        .orderBy(col("depth").asc, col("url").asc)
+      val ann2 = ann1.filter(sel1).withColumn("__rn", row_number().over(w2))
+        .localCheckpoint(true)
+      val selected = ann2.filter(col("__rn") <= budget).select(outCols: _*)
+      val deferred = ann1.filter(!sel1).select(outCols: _*)
+        .unionByName(ann2.filter(col("__rn") > budget).select(outCols: _*))
+      (selected, deferred, Seq(ann1, ann2))
+    } else {
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("__elig").desc, col("depth").asc, col("url").asc)
+      val ann = base.withColumn("__rn", row_number().over(w)).localCheckpoint(true)
+      val sel = col("__elig") && col("__rn") <= budget
+      (ann.filter(sel).select(outCols: _*),
+       ann.filter(!sel).select(outCols: _*), Seq(ann))
+    }
   }
 
   private def runInternal(spark: SparkSession, pages: DataFrame,
@@ -202,6 +249,10 @@ object Crawler {
 
     val metrics = Vector.newBuilder[RoundMetrics]
     var stop = false
+    // strong reference to the previous round's tagged checkpoints: the
+    // current (lazy) frontier filters over them, so they must survive
+    // until the next round's materialization (see tagAndSplit scaladoc)
+    var prevTagged: Seq[DataFrame] = Nil
     var lastFrontierCount: Long =
       if (resumeState.isDefined) -1L else cfg.seeds.size.toLong
 
@@ -209,30 +260,33 @@ object Crawler {
       val t0 = System.currentTimeMillis()
 
       // --- candidate selection: depth cap, robots, politeness -------------
-      var candidates = frontier.filter(col("depth") <= cfg.maxDepth)
-      robots.foreach { r =>
-        candidates = candidates
-          .join(broadcast(r), Seq("host"), "left")
-          .filter(coalesce(
-            !exists(col("prefixes"), p => gfn.url_path(col("url")).startsWith(p)),
-            lit(true)))
-          .drop("prefixes")
-      }
-      // when nothing filters the frontier, its size is already known from
-      // the previous round — saves one count job per round
+      // when nothing filters the frontier, selected ≡ frontier and its
+      // size is already known from the previous round — saves one count
+      // job per round
       val noFilters = cfg.hostBudget == Int.MaxValue &&
         !cfg.respectRobots && cfg.maxDepth == Int.MaxValue
-      // persist pays a cache write; skip it when the selection is consumed
-      // only once (noFilters: frontier ≡ selected, already a cheap filter
-      // over the checkpointed delta)
-      val selected0 = politenessSelect(candidates, cfg.hostBudget, cfg.saltBuckets)
-      val selected = if (noFilters) selected0
-                     else selected0.persist(StorageLevel.MEMORY_AND_DISK)
+      val (selected, deferred, taggedRefs) =
+        if (noFilters) (frontier, frontier.limit(0), Seq.empty[DataFrame])
+        else {
+          val withRules = robots match {
+            case Some(r) => frontier.join(broadcast(r), Seq("host"), "left")
+            case None    => frontier
+          }
+          val allowed: Column = robots match {
+            case Some(_) => coalesce(
+              !exists(col("prefixes"), p => gfn.url_path(col("url")).startsWith(p)),
+              lit(true))
+            case None => lit(true)
+          }
+          val depthOk: Column =
+            if (cfg.maxDepth == Int.MaxValue) lit(true)
+            else col("depth") <= cfg.maxDepth
+          tagAndSplit(withRules, depthOk && allowed, cfg.hostBudget, cfg.saltBuckets)
+        }
       val selCount = if (noFilters && lastFrontierCount >= 0) lastFrontierCount
                      else selected.count()
 
       if (selCount == 0) {
-        selected.unpersist()
         stop = true
       } else {
         // --- fetch: join the pages table; broadcast small frontiers -------
@@ -409,28 +463,33 @@ object Crawler {
         val frontierAdd = newSeenStable
           .filter(!col("url").isInCollection(cfg.seeds))
           .select(col("url"), gfn.url_host(col("url")).as("host"), col("depth"))
-        // with no candidate filters the whole frontier was selected, so the
-        // deferred remainder is empty — skip the anti-join entirely
+        // the deferred remainder is already two filters over this round's
+        // checkpointed tagged plan — no anti-join (see tagAndSplit)
         val frontierNextRaw =
           if (noFilters) frontierAdd
-          else frontier
-            .join(selected.select("url"), Seq("url"), "left_anti")
-            .select("url", "host", "depth")
-            .unionByName(frontierAdd)
+          else deferred.unionByName(frontierAdd)
 
         val frontierNext = log match {
           case Some(l) =>
             val p = s"${l.dir}/frontier/r$round"
             frontierNextRaw.write.mode("overwrite").parquet(p)
             spark.read.parquet(p)
-          case None if noFilters =>
-            // frontierAdd is a cheap filter over the already-checkpointed
-            // delta — no second materialization job needed
+          case None =>
+            // filters + union over already-materialized checkpoints (the
+            // tagged plan and this round's seen delta) — nothing new to
+            // materialize; next round's tagAndSplit checkpoint re-truncates
+            // the lineage, so plan depth stays O(1)
             frontierNextRaw
-          case None => frontierNextRaw.localCheckpoint(true)
         }
+        // |frontierNext| is arithmetic: deferred ⊎ selected ≡ frontier, and
+        // frontierAdd = newSeen ∖ seeds is disjoint from the old frontier
+        // (frontier residents are already in the seen set, newSeen is not).
+        // The one real count left is the first round after a resume, where
+        // the recovered frontier's size is unknown.
         val frontierCount =
           if (noFilters) newCount - newSeenSeeds // frontierAdd, arithmetically
+          else if (lastFrontierCount >= 0)
+            (lastFrontierCount - selCount) + (newCount - newSeenSeeds)
           else frontierNext.count()
         lastFrontierCount = frontierCount
 
@@ -469,7 +528,13 @@ object Crawler {
         }
 
         frontier = frontierNext
-        selected.unpersist(); fetched.unpersist(); roundLinks.unpersist()
+        fetched.unpersist(); roundLinks.unpersist()
+        // hold the PREVIOUS round's tagged checkpoints until this round's
+        // plans have all materialized, then release (lesson from
+        // dupClusters: dropping the strong reference is what lets the
+        // ContextCleaner reclaim the blocks; an explicit unpersist on a
+        // checkpointed DF is a no-op)
+        prevTagged = taggedRefs
         round += 1
         if (frontierCount == 0) stop = true
       }

@@ -118,7 +118,7 @@ object StreamOps {
     * (one micro-batch = one crawl round): within each batch, each host's
     * requests are ranked by (depth, url) and the first `budget` are
     * allowed; the remainder emit `allowed = false` for the caller to
-    * re-offer next round — exactly the batch `politenessSelect` window.
+    * re-offer next round — exactly the batch `tagAndSplit` window.
     * Unlike [[politenessGate]] (a total-crawl quota), NO counter persists
     * across batches: the group state is never written, so the budget
     * resets every round just like the batch window re-ranks every round. */

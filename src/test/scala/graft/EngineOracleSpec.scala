@@ -93,6 +93,26 @@ class EngineOracleSpec extends AnyFunSuite {
     assert(ef == o.frontier)
   }
 
+  test("politeness tag-and-split: salts=1 ≡ salts=16 (single-window ≡ " +
+       "two-phase), and the arithmetic frontierNext metric ≡ a real count") {
+    // robots ON so the terminal frontier is NONEMPTY (blocked residents) —
+    // otherwise the final frontierNext pin below is a trivial 0 == 0
+    val base = CrawlConfig(seeds, filter, hostBudget = 2, respectRobots = true)
+    val a = Crawler.run(spark, pagesDf, base.copy(saltBuckets = 1))
+    val b = Crawler.run(spark, pagesDf, base.copy(saltBuckets = 16))
+    assert(a.seen.select("url").as[String].collect().toSet ==
+           b.seen.select("url").as[String].collect().toSet)
+    assert(a.rounds.map(r => (r.selected, r.newSeen, r.frontierNext)) ==
+           b.rounds.map(r => (r.selected, r.newSeen, r.frontierNext)))
+    assert(a.frontier.select("url", "depth").as[(String, Int)].collect().toMap ==
+           b.frontier.select("url", "depth").as[(String, Int)].collect().toMap)
+    // the per-round frontierNext metric is ARITHMETIC (old frontier −
+    // selected + newly-seen non-seeds, no count job); pin the final one
+    // against a real count of the returned frontier
+    assert(a.rounds.last.frontierNext == a.frontier.count())
+    assert(b.rounds.last.frontierNext == b.frontier.count())
+  }
+
   test("crawl: robots.txt disallow rules exact-match vs oracle") {
     val o = ReferenceOracle.crawl(corpus,
       CrawlParams(seeds, filter, respectRobots = true))
