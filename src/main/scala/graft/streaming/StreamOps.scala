@@ -137,10 +137,68 @@ object StreamOps {
       }
   }
 
+  final case class PoliteTaggedRequest(host: String, url: String, depth: Int,
+                                       eligible: Boolean)
+  final case class RoundTagged(url: String, depth: Int, kind: String)
+
+  /** One-pass per-round politeness TAG — the streaming mirror of the batch
+    * `Crawler.tagAndSplit`: every frontier row comes back with a kind
+    * instead of being filtered, so selection, deferral, and robots-blocking
+    * all fall out of ONE host-keyed pass (no union branches, no
+    * re-executed gate). The per-host ordering is the batch window's exact
+    * key (eligible DESC, depth, url): eligible rows rank 0..E−1 ahead of
+    * every ineligible row, so `eligible && rank < budget` is the per-host
+    * top-B-of-eligible. No state is ever written — the budget resets each
+    * micro-batch, exactly like the batch window re-ranks each round. */
+  def politenessTagByRound(requests: Dataset[PoliteTaggedRequest],
+                           budget: Int): Dataset[RoundTagged] = {
+    import requests.sparkSession.implicits._
+    requests
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[Long, RoundTagged](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, batch: Iterator[PoliteTaggedRequest], _: GroupState[Long]) =>
+          batch.toVector.sortBy(r => (!r.eligible, r.depth, r.url))
+            .zipWithIndex.map { case (r, i) =>
+              val kind =
+                if (!r.eligible) "blocked"
+                else if (i < budget) "fetch"
+                else "deferred"
+              RoundTagged(r.url, r.depth, kind)
+            }.iterator
+      }
+  }
+
+  /** [[seenFilterMinDepth]] with ROUTING: `discovered` rows get the exact
+    * cross-batch min-depth seen dedup; every other kind passes through
+    * unchanged (and writes no state). Lets deferred/blocked frontier
+    * residents share the discovered rows' url-keyed shuffle instead of
+    * bypassing the state store through a separate union branch. */
+  def seenFilterRouted(rows: Dataset[RoundTagged]): Dataset[RoundTagged] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[Boolean, RoundTagged](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (url: String, it: Iterator[RoundTagged], state: GroupState[Boolean]) =>
+          val rows0 = it.toVector
+          val pass = rows0.filter(_.kind != "discovered")
+          val disc = rows0.filter(_.kind == "discovered")
+          val emit =
+            if (disc.nonEmpty && !state.exists) {
+              state.update(true)
+              Vector(RoundTagged(url, disc.map(_.depth).min, "discovered"))
+            } else Vector.empty
+          (pass ++ emit).iterator
+      }
+  }
+
   /** The FULLY-GOVERNED streaming crawl round (round-4 verdict item 6):
     * robots rules and the per-round host budget composed BETWEEN frontier
     * and fetch, then link extraction and exact min-depth seen dedup —
-    * every stage of the batch polite crawler as one streaming dataflow.
+    * every stage of the batch polite crawler as ONE streaming dataflow.
     * Emits one row per (url, depth, kind):
     *   - `discovered` — a NEWLY seen url (post-dedup), to join the next
     *     frontier (minus seeds);
@@ -152,42 +210,54 @@ object StreamOps {
     * back as the next frontier reproduces the batch polite crawler's seen
     * set AND final frontier exactly — pinned in StreamingSpec.
     *
-    * Scale shape: robots is a broadcast stream-static join (the rules
-    * table is tiny); the gate's groups are keyed by host and the dedup
-    * state by url — the same two shuffle keys the batch job uses. The
-    * politeness gate appears in two branches of the union; it writes no
-    * state, so the duplication costs one extra tiny per-batch sort, not a
-    * state-store copy. */
+    * Scale shape — a SINGLE pass, mirroring the batch tagAndSplit: robots
+    * is a broadcast stream-static join feeding an `eligible` tag;
+    * [[politenessTagByRound]] (host-keyed) assigns fetch/deferred/blocked
+    * in one stateless ranking; the pages join is a conditional LEFT join
+    * (only `fetch` rows match) whose output rows carry an item array —
+    * extracted links for fetches, the row itself for deferred/blocked —
+    * exploded and routed through [[seenFilterRouted]] (url-keyed). The
+    * frontier source executes ONCE per micro-batch (the previous shape ran
+    * the gate in two union branches and the source in three); the two
+    * shuffles are the same host/url keys the batch job exchanges on.
+    * Fetch rows whose url is not in `pages` (dead links) vanish, matching
+    * the batch fetch inner join. */
   def politeCrawlDataflow(frontier: DataFrame, pages: DataFrame,
                           filterPrefix: String, budget: Int): DataFrame = {
     import frontier.sparkSession.implicits._
     val robots = graft.crawler.Crawler.robotsTable(pages)
     val withHost = frontier.withColumn("host", gfn.url_host(col("url")))
     val joined = withHost.join(broadcast(robots), Seq("host"), "left")
-    val isAllowed = coalesce(
+    val eligible = coalesce(
       !exists(col("prefixes"), p => gfn.url_path(col("url")).startsWith(p)),
       lit(true))
-    val candidates = joined.filter(isAllowed).drop("prefixes")
-    val blocked = joined.filter(!isAllowed)
-      .select(col("url"), col("depth"), lit("blocked").as("kind"))
+    val tagged = politenessTagByRound(
+      joined.select(col("host"), col("url"),
+        col("depth").cast("int").as("depth"), eligible.as("eligible"))
+        .as[PoliteTaggedRequest], budget)
 
-    val gated = politenessGateByRound(
-      candidates.select(col("host"), col("url"), col("depth").cast("int").as("depth"))
-        .as[PoliteRequest], budget)
+    val items =
+      when(col("kind") === "fetch",
+        when(col("html").isNotNull,
+          transform(
+            gfn.extract_links(col("html"), col("url"),
+              lit(filterPrefix), lit(true)),
+            l => struct(l.as("url"),
+              (col("depth") + 1).cast("int").as("depth"),
+              lit("discovered").as("kind"))))
+        .otherwise(array(struct(col("url"), col("depth"),
+          lit("dead").as("kind")))))
+      .otherwise(array(struct(col("url"), col("depth"), col("kind"))))
 
-    val fetchedLinks = gated.toDF().filter(col("allowed"))
-      .join(pages.select(col("url"), col("html")), Seq("url"), "inner")
-      .select(
-        explode(gfn.extract_links(col("html"), col("url"),
-          lit(filterPrefix), lit(true))).as("url"),
-        (col("depth") + 1).cast("int").as("depth"))
-    val discovered = seenFilterMinDepth(fetchedLinks.as[(String, Int)])
-      .toDF("url", "depth")
-      .select(col("url"), col("depth"), lit("discovered").as("kind"))
-    val deferred = gated.toDF().filter(!col("allowed"))
-      .select(col("url"), col("depth"), lit("deferred").as("kind"))
+    val routed = tagged.toDF()
+      .join(pages.select(col("url").as("page_url"), col("html")),
+        col("url") === col("page_url") && col("kind") === "fetch", "left")
+      .select(explode(items).as("e"))
+      .select(col("e.url").as("url"), col("e.depth").as("depth"),
+        col("e.kind").as("kind"))
+      .filter(col("kind") =!= "dead")
 
-    discovered.unionByName(deferred).unionByName(blocked)
+    seenFilterRouted(routed.as[RoundTagged]).toDF()
   }
 
   /** Per-host politeness budget as CUSTOM STREAMING STATE

@@ -77,6 +77,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(("h2", "u3")) && got(("h2", "u5")))
   }
 
+  test("politenessTagByRound: one-pass tag — blocked rows never consume " +
+       "budget, ranking is (eligible DESC, depth, url), budget resets per " +
+       "batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[StreamOps.PoliteTaggedRequest]
+    val q = StreamOps.politenessTagByRound(in.toDS(), budget = 2)
+      .writeStream.format("memory").queryName(nextName())
+      .outputMode("append").start()
+    // h1: an INELIGIBLE row that sorts first by (depth, url) — it must
+    // rank AFTER every eligible row and must not eat a budget slot
+    in.addData(
+      StreamOps.PoliteTaggedRequest("h1", "a_blocked", 0, eligible = false),
+      StreamOps.PoliteTaggedRequest("h1", "b", 1, eligible = true),
+      StreamOps.PoliteTaggedRequest("h1", "c", 0, eligible = true),
+      StreamOps.PoliteTaggedRequest("h1", "d", 1, eligible = true),
+      StreamOps.PoliteTaggedRequest("h2", "e", 2, eligible = true))
+    q.processAllAvailable()
+    val b1 = spark.table(s"streamspec_$qn")
+      .as[StreamOps.RoundTagged].collect().map(r => r.url -> r.kind).toMap
+    // budget 2 on h1 → c (depth 0) and b (depth 1 < d by url); d deferred
+    assert(b1 == Map("a_blocked" -> "blocked", "c" -> "fetch",
+      "b" -> "fetch", "d" -> "deferred", "e" -> "fetch"))
+    // second batch: NO state carries over — h1 gets a fresh budget of 2
+    in.addData(
+      StreamOps.PoliteTaggedRequest("h1", "d", 1, eligible = true),
+      StreamOps.PoliteTaggedRequest("h1", "f", 3, eligible = true))
+    q.processAllAvailable()
+    val b2 = spark.table(s"streamspec_$qn")
+      .as[StreamOps.RoundTagged].collect().drop(5)
+      .map(r => r.url -> r.kind).toMap
+    q.stop()
+    assert(b2 == Map("d" -> "fetch", "f" -> "fetch"))
+  }
+
   test("END-TO-END: streamed crawl rounds (crawlDataflow fed back in BFS " +
        "order) reproduce the batch crawler's seen set EXACTLY") {
     implicit val sc = spark.sqlContext
