@@ -277,8 +277,9 @@ object TestCorpus {
     * filler segment + SOF0 carrying the true dimensions + EOI. The SOF
     * walk in Multimodal.decodeJpegDims must skip the two leading
     * variable-length segments, exactly as in a camera JPEG. Entropy data
-    * is omitted — header metadata is the real part; pixel decode stays
-    * stubbed. */
+    * is omitted — these rows pin the truncated-payload fallback (header
+    * dims + stub features); [[jpegPixelRows]] carries the decodable
+    * shape. */
   def jpegRows(n: Int, seed: Long = 42L): Vector[PageRow] = {
     val rng = new Lcg(seed ^ 0x4a504547L) // "JPEG"
     Vector.tabulate(n) { i =>
@@ -288,6 +289,48 @@ object TestCorpus {
         new Timestamp(1546300800000L + i * 60000L),
         jpegBytes(width, height, rng), "", "und")
     }
+  }
+
+  /** Deterministic fully-DECODABLE JPEGs: small true dimensions, real
+    * entropy-coded scan data produced by the JDK's built-in ImageIO JPEG
+    * ENCODER from a deterministic gradient+noise image (every 3rd photo
+    * grayscale — the single-component JPEG shape). These feed the REAL
+    * JPEG pixel-decode path (Multimodal.decodeJpegPixels); [[jpegRows]]
+    * keeps the header-only shape to pin the truncated-payload fallback.
+    * Encoding is in-process and seeded, so the bytes are stable for a
+    * given JDK — the pixel gates pin decode(bytes), never the bytes. */
+  def jpegPixelRows(n: Int, seed: Long = 42L): Vector[PageRow] = {
+    val rng = new Lcg(seed ^ 0x4a504758L) // "JPGX"
+    Vector.tabulate(n) { i =>
+      val width = 16 + rng.nextInt(80)
+      val height = 16 + rng.nextInt(60)
+      PageRow(s"https://cdn.test/photo_px$i.jpg",
+        new Timestamp(1546300800000L + i * 60000L),
+        jpegEncodedBytes(width, height, rng, gray = i % 3 == 2), "", "und")
+    }
+  }
+
+  private def jpegEncodedBytes(width: Int, height: Int, rng: Lcg,
+                               gray: Boolean): Array[Byte] = {
+    val imgType = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+                  else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(width, height, imgType)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        // smooth gradient + bounded noise — compressible but non-trivial
+        val r = (x * 255 / width + rng.nextInt(16)) min 255
+        val g = (y * 255 / height + rng.nextInt(16)) min 255
+        val b = ((x + y) * 255 / (width + height) + rng.nextInt(16)) min 255
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    out.toByteArray
   }
 
   /** Deterministic REAL GIF data streams: GIF89a signature + logical-screen

@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   *    ([[decodeGifFrameCount]]) counting image descriptors through
   *    extension and sub-block chains — real animation lengths.
   *
-  * What stays a clearly-marked deterministic STUB ([[decodeStub]]) —
-  * formats that genuinely need a codec this container does not have:
-  * JPEG entropy-coded pixels (libjpeg), GIF LZW pixel data, and any
-  * unrecognized payload.
+  *  - GIF: first-frame LZW pixel decode (pure-JVM [[lzwDecode]]) with
+  *    de-interlacing, palette lookup, and background compositing.
+  *  - JPEG: FULL pixel decode via the JDK's built-in ImageIO JPEG plugin
+  *    ([[decodeJpegPixels]] — `javax.imageio` ships a complete
+  *    baseline/progressive JPEG codec in `java.desktop`; no external
+  *    library, works headless).
+  *
+  * What stays a clearly-marked deterministic STUB ([[decodeStub]]):
+  * unrecognized/corrupt payloads, and video/audio formats that genuinely
+  * need an external codec stack (ffmpeg).
   *
   * In PySpark this would be `mapInPandas`; the Scala-native equivalent is
   * a typed `mapPartitions` over an Iterator of rows, which preserves the
@@ -105,6 +111,49 @@ object Multimodal {
     * never allocate gigabytes inside an executor task. 64 MPix RGBA =
     * 256 MB — far above any thumbnail/web image, far below task memory. */
   private val MaxPixelBytes: Long = 256L * 1024 * 1024
+
+  // ImageIO's default decode path spools through a temp-file cache; an
+  // executor task decoding thumbnails should stay in memory. Process-wide,
+  // idempotent, thread-safe to set once at class init.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL full JPEG pixel decode via the JDK's BUILT-IN ImageIO JPEG
+    * plugin (`javax.imageio`, module `java.desktop` — a complete
+    * baseline+progressive JPEG codec shipped with every JDK; no external
+    * dependency, headless-safe). Returns (w, h, 3, rgb) row-major like the
+    * PNG/GIF decoders.
+    *
+    * Hardening mirrors [[decodePngPixels]]: the cheap header walk
+    * ([[decodeJpegDims]]) bounds the allocation BEFORE any codec work (a
+    * payload declaring absurd dims is rejected without decoding), the
+    * decoded image must agree with the declared dims, and the whole body
+    * is exception-fenced so a truncated or hostile payload can never kill
+    * a task — the caller falls back to header dims + stub features. */
+  def decodeJpegPixels(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try {
+      decodeJpegDims(bytes).flatMap { case (w, h) =>
+        if (w.toLong * h * 3 > MaxPixelBytes) None
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null || img.getWidth != w || img.getHeight != h) None
+          else {
+            val argb = img.getRGB(0, 0, w, h, null, 0, w)
+            val out = new Array[Byte](w * h * 3)
+            var i = 0
+            var o = 0
+            while (i < argb.length) {
+              val p = argb(i)
+              out(o) = ((p >> 16) & 0xff).toByte
+              out(o + 1) = ((p >> 8) & 0xff).toByte
+              out(o + 2) = (p & 0xff).toByte
+              i += 1
+              o += 3
+            }
+            Some((w, h, 3, out))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL full PNG pixel decode for the common web-PNG shapes (8-bit
     * grayscale / RGB / RGBA, non-interlaced): concatenates the IDAT
@@ -512,13 +561,15 @@ object Multimodal {
   /** Decode dispatch, most-real path first:
     *  - PNG with decodable pixels (8-bit gray/RGB/RGBA) → REAL dims +
     *    REAL pixel features;
+    *  - JPEG with decodable pixels (JDK ImageIO codec) → REAL dims +
+    *    REAL pixel features;
     *  - GIF with a decodable first frame → real dims + REAL LZW-decoded
     *    pixel features + REAL frame count from the block walk;
-    *  - PNG/JPEG header-only → real dims, stub features (entropy-coded
-    *    JPEG pixels genuinely need libjpeg — the one remaining stub);
+    *  - PNG/JPEG header-only (truncated/corrupt entropy data) → real
+    *    dims, stub features;
     *  - anything else → the deterministic stub. */
   def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) =
-    decodePngPixels(bytes) match {
+    decodePngPixels(bytes).orElse(decodeJpegPixels(bytes)) match {
       case Some((w, h, ch, px)) => (w, h, 1, pixelFeature(w, h, ch, px))
       case None =>
         decodePngDims(bytes).orElse(decodeJpegDims(bytes)) match {
@@ -540,7 +591,8 @@ object Multimodal {
         }
     }
 
-  /** STUB decoder — deterministic fake standing in for e.g. libjpeg/ffmpeg.
+  /** STUB decoder — deterministic fake standing in for e.g. ffmpeg
+    * (video/audio) and for corrupt image payloads past header parse.
     * Derives plausible metadata and an 8-dim "embedding" purely from the
     * bytes so tests are reproducible. Replace with a real codec to go
     * live; the pipeline around it does not change. */

@@ -673,6 +673,110 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: REAL JPEG pixel decode (JDK ImageIO codec) — flat-color " +
+       "blocks round-trip within JPEG tolerance, grayscale collapses to " +
+       "r=g=b, hardening degrades to None") {
+    import java.awt.image.BufferedImage
+    // independent of the fixture generator: build a 16×16 two-block image
+    // (left mid-gray, right pure red) directly here and encode it
+    def encode(img: BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x808080 else 0xc00000)
+    val Some((w, h, ch, px)) = Multimodal.decodeJpegPixels(encode(img))
+    assert((w, h, ch) == (16, 16, 3))
+    assert(px.length == 16 * 16 * 3)
+    // flat interior pixels survive the lossy cycle within a small bound
+    // (block edges ring; sample well inside each block)
+    def at(x: Int, y: Int) = ((px((y * 16 + x) * 3) & 0xff),
+      (px((y * 16 + x) * 3 + 1) & 0xff), (px((y * 16 + x) * 3 + 2) & 0xff))
+    val (gr, gg, gb) = at(2, 8)
+    assert(math.abs(gr - 0x80) <= 8 && math.abs(gg - 0x80) <= 8 &&
+      math.abs(gb - 0x80) <= 8, s"gray block drifted: ($gr,$gg,$gb)")
+    val (rr, rg, rb) = at(13, 8)
+    assert(rr >= 0xb0 && rg <= 0x30 && rb <= 0x30,
+      s"red block drifted: ($rr,$rg,$rb)")
+
+    // single-component (grayscale) JPEG decodes to r=g=b
+    val gimg = new BufferedImage(12, 10, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 10; x <- 0 until 12) {
+      val v = x * 20 min 255
+      gimg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val Some((gw, gh, gch, gpx)) = Multimodal.decodeJpegPixels(encode(gimg))
+    assert((gw, gh, gch) == (12, 10, 3))
+    (0 until gw * gh).foreach { i =>
+      assert(gpx(i * 3) == gpx(i * 3 + 1) && gpx(i * 3) == gpx(i * 3 + 2))
+    }
+
+    // determinism: same bytes → identical decoded pixels
+    val again = Multimodal.decodeJpegPixels(encode(img)).get._4
+    assert(again.sameElements(px))
+
+    // hardening: header-only fixture JPEGs (no scan data) → None, falls
+    // back to header dims + stub features, never throws
+    graft.corpus.TestCorpus.jpegRows(3).foreach { p =>
+      assert(Multimodal.decodeJpegPixels(p.html).isEmpty, p.url)
+      val dims = Multimodal.decodeJpegDims(p.html).get
+      val (dw, dh, _, feat) = Multimodal.decode(p.html)
+      assert((dw, dh) == dims)
+      assert(feat.sameElements(Multimodal.decodeStub(p.html)._4))
+    }
+    // truncated entropy data → None (exception-fenced)
+    val full = encode(img)
+    assert(Multimodal.decodeJpegPixels(full.take(full.length / 2)).isEmpty)
+    // declared dims over the allocation cap → rejected BEFORE any codec
+    // work (re-declare the SOF dims of a real stream as 30000×30000)
+    val huge = full.clone()
+    var i = 2
+    var sof = -1
+    while (sof < 0 && i + 8 < huge.length) {
+      val m = huge(i + 1) & 0xff
+      if ((huge(i) & 0xff) == 0xff && m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc) sof = i
+      else {
+        val len = ((huge(i + 2) & 0xff) << 8) | (huge(i + 3) & 0xff)
+        i += 2 + len
+      }
+    }
+    assert(sof > 0, "fixture jpeg must carry an SOF marker")
+    huge(sof + 5) = 0x75.toByte; huge(sof + 6) = 0x30.toByte // h = 30000
+    huge(sof + 7) = 0x75.toByte; huge(sof + 8) = 0x30.toByte // w = 30000
+    assert(Multimodal.decodeJpegPixels(huge).isEmpty)
+  }
+
+  test("multimodal: generator JPEGs (photo_px fixtures) decode through the " +
+       "real path — dims match the header walk, features come from decoded " +
+       "pixels and track the generator's gradient") {
+    val photos = graft.corpus.TestCorpus.jpegPixelRows(4)
+    photos.foreach { p =>
+      val Some((w, h, ch, px)) = Multimodal.decodeJpegPixels(p.html)
+      assert(ch == 3)
+      assert(Multimodal.decodeJpegDims(p.html).contains((w, h)))
+      assert(px.length == w * h * 3)
+      // dispatch: JPEG features now come from REAL decoded pixels
+      val (_, _, _, feat) = Multimodal.decode(p.html)
+      assert(feat.sameElements(Multimodal.pixelFeature(w, h, 3, px)))
+      assert(!feat.sameElements(Multimodal.decodeStub(p.html)._4))
+      // generator truth: R is an x-gradient (mean ≈ 0.5 of full scale
+      // + half the noise amplitude), so the decoded mean-R feature must
+      // land near it — a lossy-tolerant pin that still catches channel
+      // swaps, de-quantization bugs, and row-order mistakes
+      assert(math.abs(feat(0) - 0.5) < 0.1, s"mean R of ${p.url}: ${feat(0)}")
+      // vertical gradient energy ≈ horizontal gradient energy for the
+      // symmetric generator — and both far from zero
+      assert(feat(5) > 0.005 && feat(6) > 0.005, p.url)
+    }
+    // grayscale every 3rd photo: decoded r=g=b ⇒ mean R = mean G = mean B
+    val grayFeat = Multimodal.decode(photos(2).html)._4
+    assert(math.abs(grayFeat(0) - grayFeat(1)) < 1e-9 &&
+      math.abs(grayFeat(1) - grayFeat(2)) < 1e-9)
+  }
+
   test("langId v2: full confusion matrix on a real 5-language fixture " +
        "(en/de/fr/es discriminated, gibberish → other)") {
     val docs = Seq(
