@@ -576,7 +576,9 @@ object Bench {
     // degraded estimate still exceeds the budget (ADVICE r5 #2: a <580 s
     // budget used to emit value 0.0 with no scaling fields at all —
     // "degrade, never skip" must mean at least one measured pair)
-    while (!converged && (alt == 0 ||
+    // `maxAlts > 0` keeps SPARK_GRAFT_BENCH_ALTS=0 an explicit opt-out —
+    // the first-alternation override only bypasses the BUDGET check
+    while (!converged && ((alt == 0 && maxAlts > 0) ||
            (alt < maxAlts && remainingS > altCostS + reserveQueriesS))) {
       // degrade reps under pressure: a 3/5-rep alternation that doesn't fit
       // becomes a 2/3-rep one before being dropped entirely
@@ -719,10 +721,12 @@ object Bench {
         if (rm.bestWall < bestHigh.bestWall) bestHigh = rm
         memSeenHash = Some((rm.seenHash, rm.seen))
         // priority order under budget pressure: snapshot parity (r5 #5),
-        // production config (r5 #4), bloom (has r5 driver evidence already)
-        val modes = Seq("snap", "prod", "bloom")
-          .takeWhile(_ => remainingS > 60 + reps * 40L)
-        for (mode <- modes) {
+        // production config (r5 #4), bloom (has r5 driver evidence already).
+        // The budget guard re-evaluates BEFORE EACH fork (a strict
+        // takeWhile would admit all three modes microseconds apart and
+        // then overrun the budget as the forks spend their minutes)
+        for (mode <- Seq("snap", "prod", "bloom")
+             if remainingS > 60 + reps * 40L) {
           val r = forkCrawl(nHigh, pagesPath, reps, benchPages.toLong, mode)
           val pairRatio = r.bestWall / rm.bestWall
           val m = if (r.seenHash == rm.seenHash && r.seen == rm.seen)

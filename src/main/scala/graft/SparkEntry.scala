@@ -175,7 +175,12 @@ object SparkEntry {
     "q_bucketed_fetch" -> ((s, d) => {
       val docs = t(s, d, "documents")
       s.sql("DROP TABLE IF EXISTS graft_gate_docs_bucketed")
-      val path = java.nio.file.Files.createTempDirectory("graft-bucketed-gate")
+      // FIXED per-process path, overwritten each run: a fresh
+      // createTempDirectory per invocation would orphan one full bucketed
+      // copy of the documents table in /tmp per correctness sweep (DROP
+      // TABLE on an external table does not delete its files)
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-bucketed-gate")
       graft.sources.PagesTable.writeBucketed(docs, "graft_gate_docs_bucketed",
         s"$path/docs", buckets = 8, key = "doc_id")
       val bucketed = graft.sources.PagesTable.readBucketed(s, "graft_gate_docs_bucketed")

@@ -148,15 +148,14 @@ object Crawler {
     *     2 orders by (depth, url) alone;
     *   - salts = 1: one window over the host.
     *
-    * Returns (selected, deferred, checkpointed): selected ⊎ deferred ≡
-    * frontier (projected to url/host/depth), and `checkpointed` holds the
-    * eagerly-materialized tagged intermediates — the caller must keep
-    * them strongly referenced until the NEXT round's plans materialize
-    * (unpersist on a checkpointed DF is a no-op; the blocks are reclaimed
-    * by the ContextCleaner once unreferenced). */
+    * Returns (selected, deferred): selected ⊎ deferred ≡ frontier
+    * (projected to url/host/depth), both as filters over the eagerly
+    * checkpointed tagged plan — the returned DFs' lineage keeps the
+    * checkpoint blocks reachable until the next round's checkpoint
+    * truncates it, so no extra lifecycle bookkeeping is needed. */
   private def tagAndSplit(frontier: DataFrame, eligible: Column,
                           budget: Int, salts: Int)
-      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+      : (DataFrame, DataFrame) = {
     val outCols = Seq(col("url"), col("host"), col("depth"))
     // drop the robots `prefixes` array BEFORE any materialization: it is
     // per-host metadata and would otherwise be copied into every row of
@@ -168,7 +167,7 @@ object Crawler {
       // (the robots join is a broadcast), so one materialization suffices
       val ann = base.localCheckpoint(true)
       (ann.filter(col("__elig")).select(outCols: _*),
-       ann.filter(!col("__elig")).select(outCols: _*), Seq(ann))
+       ann.filter(!col("__elig")).select(outCols: _*))
     } else if (salts > 1) {
       val w1 = Window.partitionBy(col("host"), pmod(xxhash64(col("url")), lit(salts)))
         .orderBy(col("__elig").desc, col("depth").asc, col("url").asc)
@@ -181,14 +180,14 @@ object Crawler {
       val selected = ann2.filter(col("__rn") <= budget).select(outCols: _*)
       val deferred = ann1.filter(!sel1).select(outCols: _*)
         .unionByName(ann2.filter(col("__rn") > budget).select(outCols: _*))
-      (selected, deferred, Seq(ann1, ann2))
+      (selected, deferred)
     } else {
       val w = Window.partitionBy(col("host"))
         .orderBy(col("__elig").desc, col("depth").asc, col("url").asc)
       val ann = base.withColumn("__rn", row_number().over(w)).localCheckpoint(true)
       val sel = col("__elig") && col("__rn") <= budget
       (ann.filter(sel).select(outCols: _*),
-       ann.filter(!sel).select(outCols: _*), Seq(ann))
+       ann.filter(!sel).select(outCols: _*))
     }
   }
 
@@ -249,10 +248,6 @@ object Crawler {
 
     val metrics = Vector.newBuilder[RoundMetrics]
     var stop = false
-    // strong reference to the previous round's tagged checkpoints: the
-    // current (lazy) frontier filters over them, so they must survive
-    // until the next round's materialization (see tagAndSplit scaladoc)
-    var prevTagged: Seq[DataFrame] = Nil
     var lastFrontierCount: Long =
       if (resumeState.isDefined) -1L else cfg.seeds.size.toLong
 
@@ -265,8 +260,8 @@ object Crawler {
       // job per round
       val noFilters = cfg.hostBudget == Int.MaxValue &&
         !cfg.respectRobots && cfg.maxDepth == Int.MaxValue
-      val (selected, deferred, taggedRefs) =
-        if (noFilters) (frontier, frontier.limit(0), Seq.empty[DataFrame])
+      val (selected, deferred) =
+        if (noFilters) (frontier, frontier.limit(0))
         else {
           val withRules = robots match {
             case Some(r) => frontier.join(broadcast(r), Seq("host"), "left")
@@ -529,12 +524,12 @@ object Crawler {
 
         frontier = frontierNext
         fetched.unpersist(); roundLinks.unpersist()
-        // hold the PREVIOUS round's tagged checkpoints until this round's
-        // plans have all materialized, then release (lesson from
-        // dupClusters: dropping the strong reference is what lets the
-        // ContextCleaner reclaim the blocks; an explicit unpersist on a
-        // checkpointed DF is a no-op)
-        prevTagged = taggedRefs
+        // tagged-checkpoint lifecycle needs no extra bookkeeping: the lazy
+        // `frontier` plan references this round's checkpointed RDDs, and
+        // the next round's eager tagAndSplit checkpoint truncates that
+        // lineage — at which point the old blocks become unreachable and
+        // the ContextCleaner reclaims them (unpersist on a checkpointed DF
+        // is a no-op, so explicit release would do nothing anyway)
         round += 1
         if (frontierCount == 0) stop = true
       }

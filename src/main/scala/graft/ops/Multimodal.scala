@@ -137,17 +137,26 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           if (img == null || img.getWidth != w || img.getHeight != h) None
           else {
-            val argb = img.getRGB(0, 0, w, h, null, 0, w)
+            // row-strip conversion: a full-frame getRGB would allocate a
+            // 4-byte-per-pixel int[] on top of the raster and the output
+            // (~3.5× the cap at the limit); one reused row buffer keeps
+            // peak memory at raster + output, like the PNG path
+            val row = new Array[Int](w)
             val out = new Array[Byte](w * h * 3)
-            var i = 0
             var o = 0
-            while (i < argb.length) {
-              val p = argb(i)
-              out(o) = ((p >> 16) & 0xff).toByte
-              out(o + 1) = ((p >> 8) & 0xff).toByte
-              out(o + 2) = (p & 0xff).toByte
-              i += 1
-              o += 3
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                out(o) = ((p >> 16) & 0xff).toByte
+                out(o + 1) = ((p >> 8) & 0xff).toByte
+                out(o + 2) = (p & 0xff).toByte
+                x += 1
+                o += 3
+              }
+              y += 1
             }
             Some((w, h, 3, out))
           }
@@ -223,10 +232,16 @@ object Multimodal {
         if (off < raw.length) {
           val n = inf.inflate(raw, off, raw.length - off)
           if (n == 0 && inf.needsInput()) return None // truncated stream
+          // FDICT streams stall inflate() without needing input or
+          // finishing — without this check the loop would spin forever
+          // on a hostile zlib header (preset dictionaries are illegal in
+          // PNG anyway, RFC 2083 §2.2)
+          if (n == 0 && inf.needsDictionary()) return None
           off += n
         } else {
           if (inf.inflate(probe, 0, 1) > 0) return None // oversized stream
           if (inf.needsInput()) return None // truncated: no finish marker
+          if (inf.needsDictionary()) return None // FDICT stall (see above)
         }
       }
       if (off != raw.length) return None

@@ -349,14 +349,13 @@ object TrainingOps {
       .withColumn("label", col("v")).persist()
     // `labels` lifecycle bookkeeping (ADVICE r5 #5): a localCheckpoint'd
     // generation is NOT in the CacheManager (unpersist on it is a no-op;
-    // its blocks live until the ContextCleaner GCs the RDD), yet the
-    // persisted generations that follow keep their LINEAGE rooted at it —
-    // so the most recent checkpoint must stay strongly referenced (anchor)
-    // until the NEXT checkpoint materializes, or an evicted cache
-    // partition could try to recompute through reclaimed checkpoint
-    // blocks. Persisted generations are unpersisted normally.
+    // its blocks live until the ContextCleaner GCs the RDD). The persisted
+    // generations that follow keep their LINEAGE rooted at it, and that
+    // lineage IS the strong reference — the live `labels` plan chain holds
+    // the checkpointed RDD reachable until the next localCheckpoint
+    // truncates it, so an evicted cache partition can always recompute.
+    // Persisted (non-checkpointed) generations are unpersisted normally.
     var labelsCheckpointed = false
-    var anchor: DataFrame = null
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -384,7 +383,6 @@ object TrainingOps {
       changed = next.toDF("v", "nl").join(labels, "v")
         .filter(col("nl") =!= col("label")).count()
       if (!labelsCheckpointed) labels.unpersist()
-      if (checkpointNow) anchor = next // self-contained: previous anchor may GC
       labelsCheckpointed = checkpointNow
       labels = next
     }
@@ -394,7 +392,6 @@ object TrainingOps {
       .localCheckpoint(true)
     if (!labelsCheckpointed) labels.unpersist()
     edges.unpersist(); p.unpersist()
-    anchor = null // `out` is self-contained; release the last checkpoint
     out
   }
 

@@ -116,12 +116,24 @@ final class SnapshotLog(val dir: String) {
     }
     val tmp = snapDir.resolve(s".v${s.id}.json.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, bytes)
-    try Files.createLink(snapDir.resolve(s"v${s.id}.json"), tmp)
+    val target = snapDir.resolve(s"v${s.id}.json")
+    try Files.createLink(target, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(
           s"snapshot v${s.id} was committed concurrently by another " +
             "writer — re-read latest and rebase")
+      case _: UnsupportedOperationException =>
+        // filesystems without hard links (some network mounts, FAT):
+        // degraded CAS — existence check + atomic rename. The check-move
+        // window is racy where links are unavailable, but commits still
+        // land atomically and the common conflict is still detected;
+        // POSIX filesystems always take the createLink path above.
+        if (Files.exists(target))
+          throw new CommitConflictException(
+            s"snapshot v${s.id} was committed concurrently by another " +
+              "writer — re-read latest and rebase")
+        Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
   }
 }

@@ -579,6 +579,35 @@ class OpsSpec extends AnyFunSuite {
     hostileLen(33) = 0x7f.toByte; hostileLen(34) = 0xff.toByte
     hostileLen(35) = 0xff.toByte; hostileLen(36) = 0xf0.toByte
     assert(Multimodal.decodePngPixels(hostileLen).isEmpty)
+    // zlib FDICT header (0x78 0xBB — preset dictionary, illegal in PNG):
+    // Inflater stalls returning 0 with needsInput=false, finished=false —
+    // the decoder must bail out (None), NOT spin forever in the inflate
+    // loop (a hang would be a task-killing hostile payload)
+    val fdictBody = Array[Byte](0x78.toByte, 0xBB.toByte) ++ deflated.drop(2)
+    val fdictPng = {
+      val o2 = new java.io.ByteArrayOutputStream()
+      o2.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def ch(t: String, data: Array[Byte]): Unit = {
+        o2.write(be32(data.length))
+        val body = t.getBytes("US-ASCII") ++ data
+        o2.write(body)
+        val crc = new java.util.zip.CRC32(); crc.update(body)
+        o2.write(be32(crc.getValue.toInt))
+      }
+      ch("IHDR", be32(2) ++ be32(2) ++ Array[Byte](8, 6, 0, 0, 0))
+      ch("IDAT", fdictBody)
+      ch("IEND", Array.emptyByteArray)
+      o2.toByteArray
+    }
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var fdictResult: Option[Any] = Some("unset")
+    val th = new Thread(() => {
+      fdictResult = Multimodal.decodePngPixels(fdictPng); done.countDown()
+    })
+    th.setDaemon(true); th.start()
+    assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "FDICT PNG hung the decoder (infinite inflate loop)")
+    assert(fdictResult.isEmpty)
   }
 
   test("multimodal: generator PNGs decode through all five scanline filters — " +
