@@ -175,19 +175,31 @@ object SparkEntry {
     "q_bucketed_fetch" -> ((s, d) => {
       val docs = t(s, d, "documents")
       s.sql("DROP TABLE IF EXISTS graft_gate_docs_bucketed")
-      // FIXED per-process path, overwritten each run: a fresh
-      // createTempDirectory per invocation would orphan one full bucketed
-      // copy of the documents table in /tmp per correctness sweep (DROP
-      // TABLE on an external table does not delete its files)
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-bucketed-gate")
+      val path = java.nio.file.Files.createTempDirectory("graft-bucketed-gate")
       graft.sources.PagesTable.writeBucketed(docs, "graft_gate_docs_bucketed",
         s"$path/docs", buckets = 8, key = "doc_id")
       val bucketed = graft.sources.PagesTable.readBucketed(s, "graft_gate_docs_bucketed")
       val frontier = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
-      bucketed.join(frontier, Seq("doc_id"), "inner")
+      val result = bucketed.join(frontier, Seq("doc_id"), "inner")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+        // eagerly materialize so the bucketed copy and catalog entry can
+        // be cleaned up NOW — otherwise every sweep would orphan a full
+        // copy of the documents table in /tmp (DROP TABLE on an external
+        // table does not delete its files). The 1-exchange bucketed-join
+        // plan shape is pinned separately in SourcesSpec; this gate
+        // verifies the ROWS the bucketed read path returns.
+        .localCheckpoint(true)
+      s.sql("DROP TABLE IF EXISTS graft_gate_docs_bucketed")
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(path)
+      result
     }),
 
     "q_scan_filter" -> ((s, d) => {

@@ -86,6 +86,10 @@ object Multimodal {
       if ((bytes(i) & 0xff) != 0xff) return None // not a marker: corrupt
       var marker = bytes(i + 1) & 0xff
       while (marker == 0xff && i + 2 < bytes.length) { i += 1; marker = bytes(i + 1) & 0xff } // fill bytes
+      // the fill-byte loop advanced i — re-check before the length reads
+      // below (a stream truncated right after fill bytes, e.g.
+      // FF D8 FF FF FF FF, would otherwise read past the array)
+      if (i + 3 >= bytes.length) return None
       if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS before any SOF
       if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
         i += 2 // standalone RSTn/TEM: no length field
@@ -112,11 +116,6 @@ object Multimodal {
     * 256 MB — far above any thumbnail/web image, far below task memory. */
   private val MaxPixelBytes: Long = 256L * 1024 * 1024
 
-  // ImageIO's default decode path spools through a temp-file cache; an
-  // executor task decoding thumbnails should stay in memory. Process-wide,
-  // idempotent, thread-safe to set once at class init.
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** REAL full JPEG pixel decode via the JDK's BUILT-IN ImageIO JPEG
     * plugin (`javax.imageio`, module `java.desktop` — a complete
     * baseline+progressive JPEG codec shipped with every JDK; no external
@@ -134,7 +133,18 @@ object Multimodal {
       decodeJpegDims(bytes).flatMap { case (w, h) =>
         if (w.toLong * h * 3 > MaxPixelBytes) None
         else {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          // MemoryCacheImageInputStream keeps the decode in-memory for
+          // THIS read only (ImageIO.read would consult the JVM-global
+          // temp-file-cache setting, which is not ours to mutate)
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          val img =
+            if (!readers.hasNext) null
+            else {
+              val r = readers.next()
+              try { r.setInput(iis); r.read(0) } finally r.dispose()
+            }
           if (img == null || img.getWidth != w || img.getHeight != h) None
           else {
             // row-strip conversion: a full-frame getRGB would allocate a

@@ -123,17 +123,30 @@ final class SnapshotLog(val dir: String) {
         throw new CommitConflictException(
           s"snapshot v${s.id} was committed concurrently by another " +
             "writer — re-read latest and rebase")
-      case _: UnsupportedOperationException =>
-        // filesystems without hard links (some network mounts, FAT):
-        // degraded CAS — existence check + atomic rename. The check-move
-        // window is racy where links are unavailable, but commits still
-        // land atomically and the common conflict is still detected;
-        // POSIX filesystems always take the createLink path above.
-        if (Files.exists(target))
-          throw new CommitConflictException(
-            s"snapshot v${s.id} was committed concurrently by another " +
-              "writer — re-read latest and rebase")
-        Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case _: UnsupportedOperationException |
+           _: java.nio.file.FileSystemException =>
+        // filesystems without hard links surface the failure either as
+        // UnsupportedOperationException (provider lacks createLink) or as
+        // FileSystemException (EPERM/EOPNOTSUPP from link(2) on FAT/CIFS
+        // mounts). Degraded CAS: CREATE_NEW is an atomic
+        // existence-check-and-create, so two racing writers still cannot
+        // both land (no rename that could silently replace a committed
+        // manifest). Trade-off, documented: a reader listing between
+        // create and the final write can observe a partial manifest —
+        // acceptable on these degraded filesystems; POSIX always takes
+        // the createLink path above. A FileSystemException that was NOT
+        // link-unsupport (e.g. a permissions error) fails the CREATE_NEW
+        // write too and propagates as a commit failure, same as before.
+        try
+          Files.write(target, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new CommitConflictException(
+              s"snapshot v${s.id} was committed concurrently by another " +
+                "writer — re-read latest and rebase")
+        }
     } finally Files.deleteIfExists(tmp)
   }
 }

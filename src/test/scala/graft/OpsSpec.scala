@@ -496,6 +496,13 @@ class OpsSpec extends AnyFunSuite {
     // negatives: truncation, wrong signature, SOS-before-SOF, html bytes
     assert(Multimodal.decodeJpegDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
     assert(Multimodal.decodeJpegDims("GIF89a-not-a-jpeg".getBytes("UTF-8")).isEmpty)
+    // truncated right after fill bytes: the fill loop advances i, so the
+    // length-field reads must re-check bounds (was an AIOOBE escape from
+    // the walker's totality contract)
+    assert(Multimodal.decodeJpegDims(
+      Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)).isEmpty)
+    assert(Multimodal.decodeJpegDims(
+      Array(0xff, 0xd8, 0xff, 0xff, 0xe0).map(_.toByte)).isEmpty)
     val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)
     assert(Multimodal.decodeJpegDims(sosFirst).isEmpty)
     assert(Multimodal.decodeGifDims("<html></html>".getBytes("UTF-8")).isEmpty)
