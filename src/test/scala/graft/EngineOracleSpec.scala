@@ -113,6 +113,48 @@ class EngineOracleSpec extends AnyFunSuite {
     assert(b.rounds.last.frontierNext == b.frontier.count())
   }
 
+  test("RANDOMIZED equivalence sweep: engine ≡ oracle across corpus " +
+       "shapes × politeness/robots/depth/salt configs — seen set, per-round " +
+       "metrics (incl. the arithmetic frontierNext), and frontier depths") {
+    val combos: Seq[(TestCorpus.Spec, CrawlConfig)] = Seq(
+      // tight budget + robots on a tiny 2-host corpus
+      (TestCorpus.Spec(hosts = 2, basePagesPerHost = 9, seed = 7L),
+        CrawlConfig(seeds, filter, hostBudget = 1, respectRobots = true)),
+      // skewed hosts (hot-host pressure on the salted windows)
+      (TestCorpus.Spec(hosts = 5, basePagesPerHost = 14, seed = 11L,
+        zipfExponent = 1.4),
+        CrawlConfig(seeds, filter, hostBudget = 3)),
+      // budget + depth cap + robots together (all three eligibility terms)
+      (TestCorpus.Spec(hosts = 3, basePagesPerHost = 10, seed = 23L),
+        CrawlConfig(seeds, filter, hostBudget = 2, maxDepth = 2,
+          respectRobots = true)),
+      // robots-free corpus, 16 salt buckets
+      (TestCorpus.Spec(hosts = 6, basePagesPerHost = 8, seed = 31L,
+        robots = false),
+        CrawlConfig(seeds, filter, hostBudget = 2, saltBuckets = 16)),
+      // depth cap alone (no politeness window at all)
+      (TestCorpus.Spec(hosts = 4, basePagesPerHost = 12, seed = 43L),
+        CrawlConfig(seeds, filter, maxDepth = 1, respectRobots = true)))
+    for ((spec, cfg) <- combos) {
+      val c = TestCorpus.generate(spec)
+      val df = spark.createDataset(c).toDF()
+      val o = ReferenceOracle.crawl(c, CrawlParams(seeds, filter,
+        hostBudget = cfg.hostBudget, maxDepth = cfg.maxDepth,
+        respectRobots = cfg.respectRobots))
+      val e = Crawler.run(spark, df, cfg)
+      val clue = s"spec=$spec budget=${cfg.hostBudget} depth=${cfg.maxDepth} " +
+        s"robots=${cfg.respectRobots} salts=${cfg.saltBuckets}: "
+      assert(e.seen.select("url").as[String].collect().toSet == o.seen, clue)
+      assert(e.rounds.map(_.selected) == o.rounds.map(_.selected), clue)
+      assert(e.rounds.map(_.newSeen) == o.rounds.map(_.newSeen), clue)
+      // the engine's frontierNext is ARITHMETIC (no count job) — pin it
+      // against the oracle's true per-round frontier sizes
+      assert(e.rounds.map(_.frontierNext) == o.rounds.map(_.frontierNext), clue)
+      assert(e.frontier.select("url", "depth").as[(String, Int)]
+        .collect().toMap == o.frontier, clue)
+    }
+  }
+
   test("crawl: robots.txt disallow rules exact-match vs oracle") {
     val o = ReferenceOracle.crawl(corpus,
       CrawlParams(seeds, filter, respectRobots = true))
