@@ -356,6 +356,33 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"clustered recall@3 $recall below 0.8")
   }
 
+  test("IVF ANN at scale shape: 50 cells × 40 members, k=25, probing 10% " +
+       "of cells still recovers ≥0.9 of the true neighbors") {
+    // the widened claim (r5 memory note): more cells + a larger k than the
+    // 20-cell fixture — the regime where a broken router or probe-order
+    // bug hides behind small-k luck. nprobe/cells = 5/50 probes only 10%
+    // of the corpus, so recall ≥ 0.9 is a real routing property, not the
+    // probed-fraction floor (0.1).
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val nCenters = 50
+    val centers = Array.fill(nCenters, dim)(rnd.nextGaussian())
+    val rows = for { c <- 0 until nCenters; m <- 0 until 40 } yield {
+      val v = centers(c).map(x => (x + 0.12 * rnd.nextGaussian()).toFloat)
+      ((c * 40 + m).toLong, v.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    // one query per corpus third, each a cluster member (clusters 2/23/44)
+    val queries = Seq(80L, 920L, 1760L)
+    val bf = T.bruteForceCosineTopK(emb, queries, 25)
+      .select("query_id", "neighbor").as[(Long, Long)].collect().toSet
+    val ivf = T.ivfCosineTopK(emb, queries, 25, nprobe = 5)
+      .select("query_id", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(s"50-cell IVF recall@25, nprobe=5: $recall")
+    assert(recall >= 0.9, s"recall $recall below 0.9 at 10% probe fraction")
+  }
+
   test("two-stage simhash banding (block pairs) produces the identical pair set") {
     val rnd = new scala.util.Random(13)
     val centers = Seq(0L, -1L, 0x0f0f0f0f0f0f0f0fL)
