@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * set).
   */
 final class Bloom(val numWords: Int, val numHashes: Int) extends Serializable {
+  require(numWords > 0 && numWords <= Bloom.MaxWords,
+    s"bloom numWords=$numWords outside (0, ${Bloom.MaxWords}] — see Bloom.shapeFor")
+  require(numHashes > 0, s"bloom numHashes=$numHashes must be positive")
   val words: Array[Long] = new Array[Long](numWords)
   @inline private def numBits: Long = numWords.toLong * 64L
 
@@ -68,6 +71,18 @@ final class Bloom(val numWords: Int, val numHashes: Int) extends Serializable {
 }
 
 object Bloom {
+  /** Largest filter one serialized binary buffer can carry:
+    * 8 + MaxWords*8 must stay within Int.MaxValue (ByteBuffer/Array
+    * limits). 268M words = 2 GiB of bits ≈ 1.7e10 bits — at fpp 0.03
+    * that sizes ~2.3e9 expected items. Beyond that a single monolithic
+    * filter is the wrong structure anyway (the aggregate would ship 2 GiB
+    * partials through the driver): raise fpp, lower expectedItems, or
+    * shard the filter by key range. shapeFor REJECTS shapes past this
+    * bound instead of silently overflowing Int (the old `.toInt` on the
+    * word count saturated, and `numWords * 8` in serialize() went
+    * negative — both at exactly the 10^10-item scale the cap documents). */
+  val MaxWords: Int = (Int.MaxValue - 8) / 8
+
   def deserialize(bytes: Array[Byte]): Bloom = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val numHashes = bb.getInt
@@ -83,9 +98,12 @@ object Bloom {
   def shapeFor(expectedItems: Long, fpp: Double): (Int, Int) = {
     val n = math.max(expectedItems, 1L).toDouble
     val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
-    val words = math.max(1, math.ceil(m / 64.0).toInt)
+    val wordsL = math.max(1L, math.ceil(m / 64.0).toLong)
+    require(wordsL <= MaxWords,
+      s"bloom for $expectedItems items at fpp=$fpp needs $wordsL words (> " +
+        s"$MaxWords max) — raise fpp, lower expectedItems, or shard the filter")
     val k = math.max(1, math.round(m / n * math.log(2)).toInt)
-    (words, k)
+    (wordsL.toInt, k)
   }
 }
 

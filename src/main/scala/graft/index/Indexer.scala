@@ -45,9 +45,15 @@ object Indexer {
     val offsetsDf = broadcast(
       spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset"))
     val w = Window.partitionBy("__pid").orderBy(cols: _*)
-    parts.join(offsetsDf, "__pid")
+    val out = parts.join(offsetsDf, "__pid")
       .withColumn(idName, row_number().over(w).cast("long") + col("__offset") - 1)
       .drop("__pid", "__offset")
+      // eager checkpoint so `parts` (an internal dictionary-scale cache no
+      // caller can reach) is releasable before return — otherwise every
+      // build() pinned two such caches for the session lifetime
+      .localCheckpoint(true)
+    parts.unpersist()
+    out
   }
 
   /** Build every index table from the pages table and the crawl's seen set
@@ -103,6 +109,11 @@ object Indexer {
     val docWordIds = exploded.join(wordDict, Seq("word"))
       .select("url_id", "pos", "word_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE dropping the exploded cache: docWordIds is lazy,
+    // and unpersisting its input first would re-run the whole
+    // extract+tokenize+posexplode pass (the most expensive CPU stage of
+    // indexing) when docWordIds first evaluates
+    docWordIds.count()
     exploded.unpersist()
 
     // forward index (URL_WORDS): word ids in document order

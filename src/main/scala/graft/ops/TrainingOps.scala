@@ -248,23 +248,32 @@ object TrainingOps {
   /** n-gram Jaccard near-dup pairs: shingle-bucketed self-join (the join
     * explodes only where shingles collide — candidate-bounded, not O(n²)),
     * exact Jaccard ≥ threshold. Set sizes come from the shingle ARRAY
-    * row-locally (no extra aggregation shuffle). */
+    * row-locally (no extra aggregation shuffle).
+    *
+    * The df cap bounds CANDIDATE GENERATION only: the intersection is
+    * recomputed from the UNCAPPED shingle arrays (`array_intersect`,
+    * row-local on candidate pairs), so a dropped hot shingle can only
+    * lose pairs reachable SOLELY through it — it can never deflate the
+    * Jaccard of a surviving pair (counting the capped join rows would:
+    * two docs sharing a hot shingle plus others would score
+    * (inter−1)/(sa+sb−inter+1)). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxShingleDf: Long = DefaultMaxBucketDf): DataFrame = {
     val arrs = shingleArrays(docs).persist()
-    val sizes = arrs.select(col("doc_id"), size(col("shingles")).as("sz"))
     val sh = capHotKeys(
       arrs.select(col("doc_id"), explode(col("shingles")).as("shingle")),
       maxShingleDf, "shingle")
     val a = sh.toDF("a", "shingle")
     val b = sh.toDF("b", "shingle")
-    val inter = a.join(b, "shingle").filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    val result = inter
-      .join(sizes.toDF("a", "sa"), "a")
-      .join(sizes.toDF("b", "sb"), "b")
+    val cand = a.join(b, "shingle").filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val result = cand
+      .join(arrs.toDF("a", "arr_a"), "a")
+      .join(arrs.toDF("b", "arr_b"), "b")
+      .withColumn("inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard", gfn.round_exact(col("inter").cast("double") /
-        (col("sa") + col("sb") - col("inter")).cast("double"), 4))
+        (size(col("arr_a")) + size(col("arr_b")) - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
@@ -300,6 +309,11 @@ object TrainingOps {
     * candidates. k=6, bands of 2 → 3 bands. */
   def minhashLshPairs(docs: DataFrame, k: Int = 6, rowsPerBand: Int = 2,
                       maxBandDf: Long = DefaultMaxBucketDf): DataFrame = {
+    // fail fast instead of silently computing (and paying for) k hashes
+    // while banding only the first k - k % rowsPerBand of them
+    require(k > 0 && rowsPerBand > 0 && k % rowsPerBand == 0,
+      s"k=$k must be a positive multiple of rowsPerBand=$rowsPerBand — " +
+        "trailing signature hashes would otherwise never bucket anything")
     // the signature table is TINY (one row of k hashes per doc, ≪ corpus
     // text) but EXPENSIVE (k salted md5 minima over every shingle) — and
     // it has three consumers (hot-key scan + both self-join sides), so
@@ -455,25 +469,37 @@ object TrainingOps {
   }
 
   /** winnowing fingerprint overlap pairs. `portable=true` uses md5 k-gram
-    * hashes (DuckDB-oracle-matched); false uses the rolling-hash kernel. */
+    * hashes (DuckDB-oracle-matched); false uses the rolling-hash kernel.
+    * As in [[jaccardPairs]], the df cap bounds candidate generation only —
+    * `shared` is the exact intersection size of the UNCAPPED per-doc
+    * fingerprint arrays (winnow fingerprints are deduplicated per doc, so
+    * `array_intersect` is the exact count), never deflated by a dropped
+    * hot key. */
   def winnowPairs(docs: DataFrame, minShared: Int,
                   portable: Boolean = true,
                   maxFpDf: Long = DefaultMaxBucketDf): DataFrame = {
     val fpsExpr = if (portable) gfn.winnow_md5(col("text"), lit(8), lit(4))
                   else gfn.winnow_fingerprints(col("text"), lit(8), lit(4))
-    // fingerprint posting list: ~|text|/w longs per doc (≪ text bytes) but
-    // costs a full rolling-hash pass to build — persist for the hot-key
-    // scan + both join sides
-    val posting = spread(docs).select(col("doc_id"), explode(fpsExpr).as("fp")).persist()
-    val fp = capHotKeys(posting, maxFpDf, "fp")
+    // fingerprint arrays: ~|text|/w longs per doc (≪ text bytes) but cost
+    // a full rolling-hash pass to build — persist for the hot-key scan +
+    // both join sides + the candidate recount
+    val arrs = spread(docs).select(col("doc_id"), fpsExpr.as("fps")).persist()
+    val fp = capHotKeys(
+      arrs.select(col("doc_id"), explode(col("fps")).as("fp")), maxFpDf, "fp")
     val l = fp.toDF("a", "fp")
     val r = fp.toDF("b", "fp")
-    val result = l.join(r, "fp").filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    val cand = l.join(r, "fp").filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val result = cand
+      .join(arrs.toDF("a", "fps_a"), "a")
+      .join(arrs.toDF("b", "fps_b"), "b")
+      .withColumn("shared",
+        size(array_intersect(col("fps_a"), col("fps_b"))).cast("long"))
       .filter(col("shared") >= minShared)
+      .select("a", "b", "shared")
       .orderBy("a", "b")
     val out = result.localCheckpoint(true)
-    posting.unpersist()
+    arrs.unpersist()
     out
   }
 
@@ -558,7 +584,13 @@ object TrainingOps {
     require(maxHamming >= 1 && maxHamming <= nbits - 2, s"maxHamming=$maxHamming")
     val pairKeyWidth = 2 * nbits / (maxHamming + 2)
     val twoStage = pairKeyWidth >= 7
-    val nBlocks = if (twoStage) maxHamming + 2 else maxHamming + 1
+    // clamp the block count so every block fits sliceBitsWide's 64-bit
+    // slice (e.g. nbits=256, maxHamming=1 would otherwise ask for 85-bit
+    // blocks and throw). EXTRA blocks are always completeness-safe: with
+    // b blocks and ≤ h differing bits at least b−h blocks are identical,
+    // so raising b only widens the pigeonhole margin (more candidates).
+    val baseBlocks = if (twoStage) maxHamming + 2 else maxHamming + 1
+    val nBlocks = math.max(baseBlocks, nbits / 64)
     val starts = (0 to nBlocks).map(i => i * nbits / nBlocks)
     def block(q: Int): Column =
       sliceBitsWide(col("sh"), starts(q), starts(q + 1) - starts(q))

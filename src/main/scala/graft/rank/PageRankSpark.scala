@@ -59,6 +59,11 @@ object PageRankSpark {
       if (i % checkpointEvery == 0 || i == iters)
         ranks = ranks.localCheckpoint(true)
     }
+    // the final ranks is an eager localCheckpoint (self-contained), so the
+    // iteration-only caches can be released NOW — without this a session
+    // running PageRank more than once accumulates two edge-table-sized
+    // CacheManager entries per run
+    weighted.unpersist(); verts.unpersist()
     ranks
   }
 }

@@ -67,7 +67,9 @@ object Searcher {
   def prepare(index: IndexTables, ranks: DataFrame): Prepared = {
     val parent = ranks.sparkSession
     val cached = ranks.cache()
-    val maxPR = cached.agg(max("rank")).head().getDouble(0)
+    // coalesce: max over ZERO rows is SQL NULL — an index built from an
+    // empty crawl must serve empty SERPs, not NPE inside prepare()
+    val maxPR = cached.agg(coalesce(max("rank"), lit(0.0))).head().getDouble(0)
 
     val serve = parent.newSession()
     // builder-level confs propagate to new sessions via the SparkContext
@@ -255,9 +257,12 @@ object Searcher {
     // the SERP is ≤ topK rows — materialize it as a LocalRelation so the
     // per-query `norm` cache can be released immediately (a serving session
     // firing many queries must not accumulate cached plans), and downstream
-    // joins (serpDetails) get a broadcastable local table for free
-    val collected = ptime("serp collect") { top.collect() }
-    norm.unpersist()
+    // joins (serpDetails) get a broadcastable local table for free. The
+    // unpersist is in a finally: a failed/cancelled serve job must not
+    // leak one cached plan per failed query
+    val collected =
+      try ptime("serp collect") { top.collect() }
+      finally norm.unpersist()
     if (collected.isEmpty) return emptyResult(spark) // pinned empty-SERP schema
     // re-assert the order driver-side (TakeOrderedAndProject returns rows
     // already ordered; this is a ≤ topK-element no-op guard, not a sort job)
@@ -280,15 +285,23 @@ object Searcher {
     * in Asia/Hong_Kong at display time only (WebController.kt:30-33). */
   def serpDetails(p: Prepared, serp: DataFrame): DataFrame = {
     val idx = p.index
+    // bound every aggregate to the ≤ topK SERP ids BEFORE the groupBy:
+    // the serp is a broadcastable LocalRelation, so each semi-join prunes
+    // the corpus-scale side at the scan — without it every details request
+    // would collect_list the ENTIRE link/term tables to serve ~50 rows
+    val ids = serp.select("url_id")
     val childLists = idx.links
+      .join(ids.withColumnRenamed("url_id", "src"), Seq("src"), "left_semi")
       .join(idx.urlDict.select(col("url_id").as("dst"), col("url").as("curl")), "dst")
       .groupBy(col("src").as("url_id"))
       .agg(sort_array(collect_list("curl")).as("child_urls"))
     val parentLists = idx.links
+      .join(ids.withColumnRenamed("url_id", "dst"), Seq("dst"), "left_semi")
       .join(idx.urlDict.select(col("url_id").as("src"), col("url").as("purl")), "src")
       .groupBy(col("dst").as("url_id"))
       .agg(sort_array(collect_list("purl")).as("parent_urls"))
     val top5 = idx.urlWordCount
+      .join(ids, Seq("url_id"), "left_semi")
       .select(col("url_id"), posexplode(slice(col("pairs"), 1, 5)).as(Seq("i", "p")))
       .join(idx.wordDict, col("p.word_id") === idx.wordDict("word_id"))
       .groupBy("url_id")
