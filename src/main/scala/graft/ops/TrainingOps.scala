@@ -203,8 +203,16 @@ object TrainingOps {
     * is then observable (a WARN names the op and the dropped-key count —
     * silent recall loss was the round-2 ADVICE finding) and the anti-join
     * probe is a guaranteed-broadcast local relation. maxDf <= 0 disables. */
-  private def capHotKeys(df: DataFrame, maxDf: Long, keys: String*): DataFrame = {
-    if (maxDf <= 0L) df
+  private def capHotKeys(df: DataFrame, maxDf: Long, keys: String*): DataFrame =
+    capHotKeysEx(df, maxDf, keys: _*)._1
+
+  /** [[capHotKeys]] plus the dropped-keys table itself (a tiny broadcast
+    * local relation, or None when nothing was capped) — for ops that must
+    * CORRECT their per-pair counts for the dropped keys rather than merely
+    * losing hot-only candidates (jaccardPairs/winnowPairs). */
+  private def capHotKeysEx(df: DataFrame, maxDf: Long, keys: String*)
+      : (DataFrame, Option[DataFrame]) = {
+    if (maxDf <= 0L) (df, None)
     else {
       val hot = df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
@@ -216,13 +224,13 @@ object TrainingOps {
             s"$maxDf before pairwise self-join on (${keys.mkString(", ")}) — " +
             "pairs ONLY reachable through a dropped key are lost (raise maxDf " +
             "or widen the bucket keys if that trade is wrong here)")
-      if (hotRows.isEmpty) df
+      if (hotRows.isEmpty) (df, None)
       else {
         val local = df.sparkSession.createDataFrame(
           java.util.Arrays.asList(hotRows: _*), hot.schema)
         // using-columns joins move the keys to the front — restore the order
-        df.join(broadcast(local), keys.toSeq, "left_anti")
-          .select(df.columns.map(col).toIndexedSeq: _*)
+        (df.join(broadcast(local), keys.toSeq, "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*), Some(local))
       }
     }
   }
@@ -250,30 +258,46 @@ object TrainingOps {
     * exact Jaccard ≥ threshold. Set sizes come from the shingle ARRAY
     * row-locally (no extra aggregation shuffle).
     *
-    * The df cap bounds CANDIDATE GENERATION only: the intersection is
-    * recomputed from the UNCAPPED shingle arrays (`array_intersect`,
-    * row-local on candidate pairs), so a dropped hot shingle can only
-    * lose pairs reachable SOLELY through it — it can never deflate the
-    * Jaccard of a surviving pair (counting the capped join rows would:
-    * two docs sharing a hot shingle plus others would score
-    * (inter−1)/(sa+sb−inter+1)). */
+    * The df cap bounds CANDIDATE GENERATION only: when keys were actually
+    * dropped, the per-pair count is CORRECTED by the pair's shared hot
+    * keys (each doc's hot-key subset is a tiny row-local array from one
+    * broadcast join — never a hot-key self-join), so a dropped hot
+    * shingle can only lose pairs reachable SOLELY through it — it can
+    * never deflate the Jaccard of a surviving pair (counting the capped
+    * join rows alone would: two docs sharing a hot shingle plus others
+    * would score (inter−1)/(sa+sb−inter+1)). With no hot keys (the common
+    * case) the plan is exactly the cheap capped-count shape. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxShingleDf: Long = DefaultMaxBucketDf): DataFrame = {
     val arrs = shingleArrays(docs).persist()
-    val sh = capHotKeys(
-      arrs.select(col("doc_id"), explode(col("shingles")).as("shingle")),
-      maxShingleDf, "shingle")
+    val sizes = arrs.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val exploded0 =
+      arrs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val (sh, hotOpt) = capHotKeysEx(exploded0, maxShingleDf, "shingle")
     val a = sh.toDF("a", "shingle")
     val b = sh.toDF("b", "shingle")
-    val cand = a.join(b, "shingle").filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val result = cand
-      .join(arrs.toDF("a", "arr_a"), "a")
-      .join(arrs.toDF("b", "arr_b"), "b")
-      .withColumn("inter",
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+    val interSub = a.join(b, "shingle").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val inter = hotOpt match {
+      case None => interSub
+      case Some(hotDf) =>
+        // per-doc hot-key subset: linear broadcast join + collect_set (the
+        // hot POSTINGS are at most |docs|·|hot| rows, never joined pairwise)
+        val hotPerDoc = exploded0.join(broadcast(hotDf), Seq("shingle"))
+          .groupBy("doc_id").agg(collect_set(col("shingle")).as("hot"))
+        interSub
+          .join(hotPerDoc.toDF("a", "hot_a"), Seq("a"), "left")
+          .join(hotPerDoc.toDF("b", "hot_b"), Seq("b"), "left")
+          .withColumn("inter", col("inter") + size(array_intersect(
+            coalesce(col("hot_a"), array()),
+            coalesce(col("hot_b"), array()))).cast("long"))
+          .select("a", "b", "inter")
+    }
+    val result = inter
+      .join(sizes.toDF("a", "sa"), "a")
+      .join(sizes.toDF("b", "sb"), "b")
       .withColumn("jaccard", gfn.round_exact(col("inter").cast("double") /
-        (size(col("arr_a")) + size(col("arr_b")) - col("inter")).cast("double"), 4))
+        (col("sa") + col("sb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
@@ -471,35 +495,42 @@ object TrainingOps {
   /** winnowing fingerprint overlap pairs. `portable=true` uses md5 k-gram
     * hashes (DuckDB-oracle-matched); false uses the rolling-hash kernel.
     * As in [[jaccardPairs]], the df cap bounds candidate generation only —
-    * `shared` is the exact intersection size of the UNCAPPED per-doc
-    * fingerprint arrays (winnow fingerprints are deduplicated per doc, so
-    * `array_intersect` is the exact count), never deflated by a dropped
-    * hot key. */
+    * when keys were dropped, `shared` is corrected by the pair's shared
+    * hot fingerprints (winnow fingerprints are deduplicated per doc, so
+    * the per-pair count + hot-subset intersection is the exact overlap),
+    * never deflated by a dropped hot key. */
   def winnowPairs(docs: DataFrame, minShared: Int,
                   portable: Boolean = true,
                   maxFpDf: Long = DefaultMaxBucketDf): DataFrame = {
     val fpsExpr = if (portable) gfn.winnow_md5(col("text"), lit(8), lit(4))
                   else gfn.winnow_fingerprints(col("text"), lit(8), lit(4))
-    // fingerprint arrays: ~|text|/w longs per doc (≪ text bytes) but cost
-    // a full rolling-hash pass to build — persist for the hot-key scan +
-    // both join sides + the candidate recount
-    val arrs = spread(docs).select(col("doc_id"), fpsExpr.as("fps")).persist()
-    val fp = capHotKeys(
-      arrs.select(col("doc_id"), explode(col("fps")).as("fp")), maxFpDf, "fp")
+    // fingerprint posting list: ~|text|/w longs per doc (≪ text bytes) but
+    // costs a full rolling-hash pass to build — persist for the hot-key
+    // scan + both join sides
+    val posting = spread(docs).select(col("doc_id"), explode(fpsExpr).as("fp")).persist()
+    val (fp, hotOpt) = capHotKeysEx(posting, maxFpDf, "fp")
     val l = fp.toDF("a", "fp")
     val r = fp.toDF("b", "fp")
-    val cand = l.join(r, "fp").filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val result = cand
-      .join(arrs.toDF("a", "fps_a"), "a")
-      .join(arrs.toDF("b", "fps_b"), "b")
-      .withColumn("shared",
-        size(array_intersect(col("fps_a"), col("fps_b"))).cast("long"))
+    val sharedSub = l.join(r, "fp").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    val shared = hotOpt match {
+      case None => sharedSub
+      case Some(hotDf) =>
+        val hotPerDoc = posting.join(broadcast(hotDf), Seq("fp"))
+          .groupBy("doc_id").agg(collect_set(col("fp")).as("hot"))
+        sharedSub
+          .join(hotPerDoc.toDF("a", "hot_a"), Seq("a"), "left")
+          .join(hotPerDoc.toDF("b", "hot_b"), Seq("b"), "left")
+          .withColumn("shared", col("shared") + size(array_intersect(
+            coalesce(col("hot_a"), array()),
+            coalesce(col("hot_b"), array()))).cast("long"))
+          .select("a", "b", "shared")
+    }
+    val result = shared
       .filter(col("shared") >= minShared)
-      .select("a", "b", "shared")
       .orderBy("a", "b")
     val out = result.localCheckpoint(true)
-    arrs.unpersist()
+    posting.unpersist()
     out
   }
 

@@ -454,6 +454,38 @@ class OpsSpec extends AnyFunSuite {
       T.simhashPairs(fix, 6, maxBucketDf = 0).collect().map(_.toString).toSeq)
   }
 
+  test("hot-bucket cap does NOT deflate surviving pairs: capped scores equal " +
+       "the uncapped run wherever a pair survives (jaccard + winnow)") {
+    // docs 0/1 are near-dups sharing many shingles INCLUDING a hot
+    // boilerplate trigram shared by everyone; docs 2..19 share ONLY the
+    // boilerplate. With the cap below the boilerplate's df: the 0-1 pair
+    // must keep its exact uncapped jaccard (hot-key correction), while
+    // boilerplate-only pairs disappear (documented candidate loss).
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (
+      Seq((0L, s"common boiler plate $base"),
+          (1L, s"common boiler plate $base iota")) ++
+      (2L until 20L).map(i => (i, s"common boiler plate unique$i only$i"))
+    ).toDF("doc_id", "text")
+    val uncapped = T.jaccardPairs(docs, 0.05, maxShingleDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = T.jaccardPairs(docs, 0.05, maxShingleDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.contains((0L, 1L)), "near-dup pair must survive the cap")
+    capped.foreach { case (k, v) =>
+      assert(uncapped(k) == v, s"pair $k: capped $v != uncapped ${uncapped(k)}")
+    }
+    // winnow: same corpus, same invariant on the shared counts
+    val wUncapped = T.winnowPairs(docs, 1, maxFpDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wCapped = T.winnowPairs(docs, 1, maxFpDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wCapped.nonEmpty)
+    wCapped.foreach { case (k, v) =>
+      assert(wUncapped(k) == v, s"winnow pair $k: capped $v != uncapped ${wUncapped(k)}")
+    }
+  }
+
   test("multimodal: decode stub plumbing — schema, determinism, frame explode") {
     val media = Seq(
       ("u1", "payload-one".getBytes("UTF-8")),
