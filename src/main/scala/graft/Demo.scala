@@ -18,7 +18,19 @@ import graft.rank.{PageRankSpark, Searcher}
 object Demo {
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse(sys.error("usage: Demo <workDir> [query] [flags]"))
-    val query = args.drop(1).find(!_.startsWith("--")).getOrElse("\"hong kong\" research")
+    // flags that CONSUME the next argument — their values must not be
+    // mistaken for the query (`Demo /w --maxRounds 3` used to search "3")
+    val valueFlags = Set("--maxRounds", "--budget", "--hosts", "--pages")
+    val query = {
+      var q: Option[String] = None
+      var i = 1
+      while (q.isEmpty && i < args.length) {
+        if (valueFlags.contains(args(i))) i += 2
+        else if (args(i).startsWith("--")) i += 1
+        else { q = Some(args(i)) }
+      }
+      q.getOrElse("\"hong kong\" research")
+    }
     def flag(name: String): Option[String] = {
       val i = args.indexOf(name); if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
     }
@@ -67,9 +79,10 @@ object Demo {
       f"(${seenCount / math.max(crawlSec, 1e-9)}%.0f urls/sec incl. index-free rounds)" +
       (if (resume) s" [resumed from round ${crawl.resumedFromRound}]" else ""))
 
-    if (crawl.frontier.count() > 0 && maxRounds != Int.MaxValue) {
+    val frontierLeft = crawl.frontier.count()
+    if (frontierLeft > 0 && maxRounds != Int.MaxValue) {
       println(s"[demo] stopped early at maxRounds=$maxRounds with frontier " +
-        s"${crawl.frontier.count()} — rerun with --resume to continue")
+        s"$frontierLeft — rerun with --resume to continue")
       spark.stop(); return
     }
 

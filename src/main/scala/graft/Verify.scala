@@ -24,7 +24,10 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: after an OutOfMemoryError/LinkageError the JVM
+        // is in an undefined state — later query outputs could be
+        // silently corrupt; let fatal errors kill the run instead
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -62,7 +62,13 @@ object gfn {
     val reg = spark.sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.expressions.Expression
     def reg1(name: String, f: Expression => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
+      reg.createOrReplaceTempFunction(name, es => {
+        // clear arity error instead of an opaque NoSuchElementException
+        // on zero args, and no silent discard of extra arguments
+        if (es.length != 1)
+          throw analysisErr(s"$name expects exactly 1 argument, got ${es.length}")
+        f(es.head)
+      }, "built-in")
     reg1("porter_stem", PorterStemExpr.apply)
     reg1("tokenize_words", TokenizeWordsExpr.apply)
     reg1("extract_text", ExtractTextExpr.apply)
@@ -133,6 +139,11 @@ object gfn {
     }
     if (d != math.rint(d) || d.isNaN || d.isInfinite)
       throw analysisErr(s"$fn: argument '$arg' must be an integer literal, got $d")
+    // Int-range check: Double→Int silently SATURATES (4294967296.0.toInt
+    // is Int.MaxValue), which would e.g. turn minhash_sigs(c, 2^32) into
+    // a 2^31-element signature per row instead of an analysis error
+    if (d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble)
+      throw analysisErr(s"$fn: argument '$arg' is out of Int range: $d")
     d.toInt
   }
 }

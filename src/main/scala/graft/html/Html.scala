@@ -87,7 +87,7 @@ object Html {
           i = if (end < 0) n else end + 3
           emitTagBreak()
         } else {
-          val tagEnd = html.indexOf('>', i)
+          val tagEnd = findTagEnd(html, i)
           if (tagEnd < 0) { i = n } // truncated tag: drop the rest
           else {
             val rawTag = html.substring(i + 1, tagEnd)
@@ -162,41 +162,92 @@ object Html {
     var i = 0
     val n = tagBody.length
     while (i < n && isNameChar(tagBody.charAt(i))) i += 1
-    tagBody.substring(0, i).toLowerCase
+    // Locale.ROOT: under a Turkish default locale "TITLE".toLowerCase is
+    // "tıtle" (dotless ı) — tag dispatch must be locale-independent
+    tagBody.substring(0, i).toLowerCase(java.util.Locale.ROOT)
   }
 
   private def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
+  // attribute NAMES additionally allow '-', '_' and ':' (data-href,
+  // xml:lang) — without these the tokenizer would split "data-href" into
+  // two names and resurrect the substring-match bug
+  private def isAttrNameChar(c: Char): Boolean =
+    isNameChar(c) || c == '-' || c == '_' || c == ':'
+
   /** Value of an attribute inside a tag body; supports double-, single-,
-    * and un-quoted values. Returns the raw (undecoded) value. */
+    * and un-quoted values. Returns the raw (undecoded) value.
+    *
+    * A real left-to-right attribute TOKENIZER, not a substring search:
+    * the previous `indexOf(attr)` form matched "href" inside a
+    * preceding `data-href` name (the '-' passed the boundary guard) and
+    * inside other attributes' QUOTED VALUES (`alt="href=evil"`), either
+    * way returning the wrong value and dropping the real link. Walking
+    * name → '=' → value and skipping complete quoted values makes both
+    * impossible. Only attributes WITH '=' can match (same contract as
+    * before — a bare boolean `href` never returns). */
   private[html] def attrValue(tagBody: String, attr: String): Option[String] = {
-    val lower = tagBody.toLowerCase
-    var from = 0
-    while (true) {
-      val at = lower.indexOf(attr, from)
-      if (at < 0) return None
-      // must be a standalone attribute name
-      val beforeOk = at == 0 || !isNameChar(lower.charAt(at - 1))
-      var i = at + attr.length
-      while (i < tagBody.length && Character.isWhitespace(tagBody.charAt(i))) i += 1
-      if (beforeOk && i < tagBody.length && tagBody.charAt(i) == '=') {
-        i += 1
-        while (i < tagBody.length && Character.isWhitespace(tagBody.charAt(i))) i += 1
-        if (i >= tagBody.length) return Some("")
-        val q = tagBody.charAt(i)
-        if (q == '"' || q == '\'') {
-          val end = tagBody.indexOf(q, i + 1)
-          return Some(if (end < 0) tagBody.substring(i + 1) else tagBody.substring(i + 1, end))
-        } else {
-          var end = i
-          while (end < tagBody.length && !Character.isWhitespace(tagBody.charAt(end))) end += 1
-          return Some(tagBody.substring(i, end))
+    val n = tagBody.length
+    var i = 0
+    while (i < n && isNameChar(tagBody.charAt(i))) i += 1 // skip tag name
+    while (i < n) {
+      val c = tagBody.charAt(i)
+      if (!isAttrNameChar(c)) { i += 1 } // separator / stray char
+      else {
+        val ns = i
+        while (i < n && isAttrNameChar(tagBody.charAt(i))) i += 1
+        val name = tagBody.substring(ns, i)
+        var j = i
+        while (j < n && Character.isWhitespace(tagBody.charAt(j))) j += 1
+        if (j < n && tagBody.charAt(j) == '=') {
+          j += 1
+          while (j < n && Character.isWhitespace(tagBody.charAt(j))) j += 1
+          val matches = name.equalsIgnoreCase(attr)
+          if (j >= n) { if (matches) return Some("") else i = j }
+          else {
+            val q = tagBody.charAt(j)
+            if (q == '"' || q == '\'') {
+              val end = tagBody.indexOf(q, j + 1)
+              val v = if (end < 0) tagBody.substring(j + 1)
+                      else tagBody.substring(j + 1, end)
+              if (matches) return Some(v)
+              i = if (end < 0) n else end + 1
+            } else {
+              var end = j
+              while (end < n && !Character.isWhitespace(tagBody.charAt(end))) end += 1
+              if (matches) return Some(tagBody.substring(j, end))
+              i = end
+            }
+          }
         }
+        // no '=': boolean attribute — never a match target, keep walking
       }
-      from = at + 1
     }
     None
+  }
+
+  /** End of the tag opened at `start` ('<'), skipping '>' inside quoted
+    * attribute values (`<a onclick="if(a>b)f()" href=…>` must not cut the
+    * tag at the comparison). A quote only OPENS a value when the previous
+    * non-whitespace char is '=' — a stray unmatched quote elsewhere in a
+    * malformed tag can then never swallow the rest of the document. */
+  private def findTagEnd(html: String, start: Int): Int = {
+    var i = start + 1
+    var quote: Char = 0
+    var prevNonWs: Char = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (quote != 0) {
+        if (c == quote) { quote = 0; prevNonWs = c }
+      } else if ((c == '"' || c == '\'') && prevNonWs == '=') {
+        quote = c
+      } else if (c == '>') {
+        return i
+      } else if (!Character.isWhitespace(c)) prevNonWs = c
+      i += 1
+    }
+    -1
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
@@ -212,9 +263,20 @@ object Html {
 
   /** Decode one entity starting at position i ('&'); returns (text, nextIndex). */
   private def decodeEntityAt(s: String, i: Int): (String, Int) = {
-    val semi = s.indexOf(';', i + 1)
-    if (semi < 0 || semi - i > 10) return ("&", i + 1)
+    // BOUNDED scan: entity names are ≤ 10 chars, so look at most 11 chars
+    // ahead — an unbounded indexOf made parse() quadratic on '&'-dense
+    // pages with few semicolons (a 1 MB page of '&'s scanned to EOF per
+    // char: ~10^11 comparisons hanging one executor task)
+    val limit = math.min(s.length, i + 12)
+    var semi = -1
+    var j = i + 1
+    while (j < limit && semi < 0) { if (s.charAt(j) == ';') semi = j else j += 1 }
+    if (semi < 0) return ("&", i + 1)
     val name = s.substring(i + 1, semi)
+    def codePoint(cp: Int): String =
+      // supplementary-plane refs (&#128512;) need the surrogate PAIR —
+      // Int.toChar silently truncated them to an unrelated BMP char
+      if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
     val decoded = name match {
       case "nbsp" => " " // StringBean-style non-breaking-space replacement
       case "amp"  => "&"
@@ -223,10 +285,10 @@ object Html {
       case "quot" => "\""
       case "apos" => "'"
       case _ if name.startsWith("#x") || name.startsWith("#X") =>
-        try String.valueOf(Integer.parseInt(name.substring(2), 16).toChar)
+        try codePoint(Integer.parseInt(name.substring(2), 16))
         catch { case _: Exception => null }
       case _ if name.startsWith("#") =>
-        try String.valueOf(Integer.parseInt(name.substring(1)).toChar)
+        try codePoint(Integer.parseInt(name.substring(1)))
         catch { case _: Exception => null }
       case _ => null
     }

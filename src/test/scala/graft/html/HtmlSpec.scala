@@ -86,6 +86,46 @@ class HtmlSpec extends AnyFunSuite {
     assert(graft.functions.ExprImpl.extractCopyrightDateMicros(
       """<p>Copyright updated on 2019-03-01</p>""".getBytes("UTF-8")) == null)
   }
+
+  test("attribute tokenizer: data-href must not shadow href; href inside " +
+       "another attribute's quoted value must not match; boolean attrs walk on") {
+    assert(Html.parse("""<a data-href="#" href="real.html">x</a>""").hrefs ==
+      Vector("real.html"))
+    assert(Html.parse("""<a alt="href=evil" href="real.html">x</a>""").hrefs ==
+      Vector("real.html"))
+    assert(Html.parse("""<a download href="real.html">x</a>""").hrefs ==
+      Vector("real.html"))
+    // no real href at all → nothing extracted, even with decoys
+    assert(Html.parse("""<a data-href="#" alt="href=evil">x</a>""").hrefs.isEmpty)
+  }
+
+  test("tag end: '>' inside a quoted attribute value does not truncate the " +
+       "tag; stray quotes without '=' cannot swallow the document") {
+    val p = Html.parse("""<a onclick="if(a>b)f()" href="x.html">click</a> tail""")
+    assert(p.hrefs == Vector("x.html"))
+    assert(p.text == "click tail")
+    // a lone quote in a weird place must not quote the rest of the page
+    val q = Html.parse("""<p "oops>one</p><a href="y.html">two</a>""")
+    assert(q.hrefs == Vector("y.html"))
+  }
+
+  test("numeric refs outside the BMP decode to surrogate pairs; invalid " +
+       "code points degrade to a literal '&'") {
+    assert(Html.parse("<p>&#128512;</p>").text == new String(Character.toChars(128512)))
+    assert(Html.parse("<p>&#x1F600;</p>").text == new String(Character.toChars(0x1F600)))
+    assert(Html.parse("<p>&#-60;x</p>").text == "&#-60;x")
+    assert(Html.parse("<p>&#1114112;x</p>").text == "&#1114112;x") // > U+10FFFF
+  }
+
+  test("entity scan is bounded: a page dense in '&' with no semicolons " +
+       "parses in linear time") {
+    val dense = "<p>" + ("&" * 200000) + "</p>"
+    val t0 = System.nanoTime()
+    val p = Html.parse(dense)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(p.text == "&" * 200000)
+    assert(secs < 5.0, f"quadratic entity scan: $secs%.1fs for 200k '&'s")
+  }
 }
 
 class UrlCanonSpec extends AnyFunSuite {
