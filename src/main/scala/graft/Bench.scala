@@ -592,29 +592,38 @@ object Bench {
       // driver run sampled ENTIRELY inside a contention wave (calib
       // 2.8-3.1 s throughout) and recorded 0.781 — waiting for a genuinely
       // quiet window is the single biggest estimator lever
-      calibs :+= calmWindow(180000)
-      val rl = forkCrawl(nLow, pagesPath, repsLow, benchPages.toLong)
-      wallsLow ++= rl.repWalls; cpusLow ++= rl.repCpus
-      if (rl.bestWall < bestLow.bestWall) bestLow = rl
-      calibs :+= calmWindow(180000)
-      val rh = forkCrawl(nHigh, pagesPath, repsHigh, benchPages.toLong)
-      wallsHigh ++= rh.repWalls; cpusHigh ++= rh.repCpus
-      if (rh.bestWall < bestHigh.bestWall) bestHigh = rh
-      // same-alternation pair: adjacent in time → similar host state
-      bestPairEff = math.max(bestPairEff, effOf(rl.bestWall, rh.bestWall))
-      val effSoFar = effOf(bestLow.bestWall, bestHigh.bestWall)
-      val cpuRatio = bestHigh.bestCpu / math.max(bestLow.bestCpu, 1e-9)
-      System.err.println(f"[bench] alternation $alt: eff(best-of)=$effSoFar%.3f " +
-        f"eff(best-pair)=$bestPairEff%.3f cpuRatio=$cpuRatio%.2f " +
-        f"calib=${calibs.takeRight(2).map(c => f"$c%.2f").mkString(",")}s " +
-        s"remaining=${remainingS}s")
-      // converge only when the ratio is good AND BOTH sides have stopped
-      // improving (a good ratio read off one contention-inflated side is
-      // not evidence — both minima must be stable)
-      val lowStable = bestLow.bestWall >= prevLow * 0.97
-      val highStable = bestHigh.bestWall >= prevHigh * 0.97
-      converged = effSoFar >= 0.82 && cpuRatio <= 1.3 &&
-        alt > 0 && lowStable && highStable
+      // a failed fork (child OOM, transient /tmp failure) must DEGRADE the
+      // scaling phase to whatever evidence exists, never abort the run
+      // before the artifact write — phase 3 already has this guard
+      try {
+        calibs :+= calmWindow(180000)
+        val rl = forkCrawl(nLow, pagesPath, repsLow, benchPages.toLong)
+        wallsLow ++= rl.repWalls; cpusLow ++= rl.repCpus
+        if (rl.bestWall < bestLow.bestWall) bestLow = rl
+        calibs :+= calmWindow(180000)
+        val rh = forkCrawl(nHigh, pagesPath, repsHigh, benchPages.toLong)
+        wallsHigh ++= rh.repWalls; cpusHigh ++= rh.repCpus
+        if (rh.bestWall < bestHigh.bestWall) bestHigh = rh
+        // same-alternation pair: adjacent in time → similar host state
+        bestPairEff = math.max(bestPairEff, effOf(rl.bestWall, rh.bestWall))
+        val effSoFar = effOf(bestLow.bestWall, bestHigh.bestWall)
+        val cpuRatio = bestHigh.bestCpu / math.max(bestLow.bestCpu, 1e-9)
+        System.err.println(f"[bench] alternation $alt: eff(best-of)=$effSoFar%.3f " +
+          f"eff(best-pair)=$bestPairEff%.3f cpuRatio=$cpuRatio%.2f " +
+          f"calib=${calibs.takeRight(2).map(c => f"$c%.2f").mkString(",")}s " +
+          s"remaining=${remainingS}s")
+        // converge only when the ratio is good AND BOTH sides have stopped
+        // improving (a good ratio read off one contention-inflated side is
+        // not evidence — both minima must be stable)
+        val lowStable = bestLow.bestWall >= prevLow * 0.97
+        val highStable = bestHigh.bestWall >= prevHigh * 0.97
+        converged = effSoFar >= 0.82 && cpuRatio <= 1.3 &&
+          alt > 0 && lowStable && highStable
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] scaling alternation $alt FAILED " +
+          s"(${e.getMessage}) — stopping the phase with partial evidence")
+        converged = true
+      }
       alt += 1
       altCostS = math.max((System.currentTimeMillis() - tAlt) / 1000, 120L)
       writeLocal(buildJson()) // partial evidence survives a killed run
@@ -651,9 +660,17 @@ object Bench {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark0, sfDir).count()
-        catch { case _: Throwable => -1L }
-        BigDecimal((System.nanoTime() - t0) / 1e9)
+        // a failed query must be VISIBLE in the artifact, not recorded as
+        // its fast-fail wall (a broken query used to look like a ~0.1 s
+        // speedup); emit a sentinel the comparison table can't mistake
+        val ok =
+          try { SparkEntry.queries(name)(spark0, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+            false
+          }
+        if (!ok) -1.0
+        else BigDecimal((System.nanoTime() - t0) / 1e9)
           .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
       val cold = once() // includes this plan's whole-stage codegen compile

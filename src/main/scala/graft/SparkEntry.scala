@@ -163,6 +163,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
 
+  private val bucketedGateSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- scans / filters / projections (S2-S4, F-ops) --------
@@ -174,32 +176,38 @@ object SparkEntry {
     // table would.
     "q_bucketed_fetch" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      s.sql("DROP TABLE IF EXISTS graft_gate_docs_bucketed")
+      // unique table name per invocation: a fixed name would let two
+      // concurrent sweeps in one session drop each other's catalog entry
+      val tbl = s"graft_gate_docs_bucketed_${bucketedGateSeq.incrementAndGet()}"
       val path = java.nio.file.Files.createTempDirectory("graft-bucketed-gate")
-      graft.sources.PagesTable.writeBucketed(docs, "graft_gate_docs_bucketed",
-        s"$path/docs", buckets = 8, key = "doc_id")
-      val bucketed = graft.sources.PagesTable.readBucketed(s, "graft_gate_docs_bucketed")
-      val frontier = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
-      val result = bucketed.join(frontier, Seq("doc_id"), "inner")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy("doc_id")
-        // eagerly materialize so the bucketed copy and catalog entry can
-        // be cleaned up NOW — otherwise every sweep would orphan a full
-        // copy of the documents table in /tmp (DROP TABLE on an external
-        // table does not delete its files). The 1-exchange bucketed-join
-        // plan shape is pinned separately in SourcesSpec; this gate
-        // verifies the ROWS the bucketed read path returns.
-        .localCheckpoint(true)
-      s.sql("DROP TABLE IF EXISTS graft_gate_docs_bucketed")
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val children = java.nio.file.Files.list(p)
-          try children.forEach(rm(_)) finally children.close()
+      try {
+        graft.sources.PagesTable.writeBucketed(docs, tbl,
+          s"$path/docs", buckets = 8, key = "doc_id")
+        val bucketed = graft.sources.PagesTable.readBucketed(s, tbl)
+        val frontier = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+        bucketed.join(frontier, Seq("doc_id"), "inner")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+          // eagerly materialize so the bucketed copy and catalog entry can
+          // be cleaned up NOW — otherwise every sweep would orphan a full
+          // copy of the documents table in /tmp (DROP TABLE on an external
+          // table does not delete its files). The 1-exchange bucketed-join
+          // plan shape is pinned separately in SourcesSpec; this gate
+          // verifies the ROWS the bucketed read path returns.
+          .localCheckpoint(true)
+      } finally {
+        // cleanup runs on failure too — no orphaned documents copies
+        try s.sql(s"DROP TABLE IF EXISTS $tbl")
+        catch { case scala.util.control.NonFatal(_) => () }
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val children = java.nio.file.Files.list(p)
+            try children.forEach(rm(_)) finally children.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
         }
-        java.nio.file.Files.deleteIfExists(p)
+        rm(path)
       }
-      rm(path)
-      result
     }),
 
     "q_scan_filter" -> ((s, d) => {

@@ -53,7 +53,14 @@ final case class CrawlConfig(
       * bucket equality so dynamic partition pruning reads ONLY the buckets
       * the frontier touches — small rounds stop paying a full-table scan.
       * This is the sandbox stand-in for bucketed/Iceberg-partitioned page
-      * storage on a real cluster. */
+      * storage on a real cluster.
+      *
+      * CONTRACT: the value MUST equal the modulus the table was written
+      * with — the join matches on bucket equality, so a mismatched
+      * modulus silently drops most fetches (residues only coincide by
+      * accident). The engine cannot introspect the stored layout from a
+      * DataFrame; callers own this invariant (Bench threads one constant
+      * through writer and config for exactly this reason). */
     pagesBuckets: Int = 0,
     /** memory-mode seen-delta compaction period (see the seen-plan comment
       * in Crawler.runInternal). Per-run (r3 ADVICE: a JVM-wide env-read
@@ -61,7 +68,15 @@ final case class CrawlConfig(
       * setting the env after class-load silently no-opped); the env var
       * only seeds the DEFAULT at config construction. */
     compactEvery: Int =
-      sys.env.getOrElse("SPARK_GRAFT_SEEN_COMPACT_EVERY", "16").toInt) {
+      // <= 0 means DISABLE compaction (never trigger) — the naive reading
+      // of 0 would make `deltas.length >= compactEvery` true every round,
+      // re-checkpointing the full cumulative seen set per round (the exact
+      // O(R·N) pathology compaction exists to avoid)
+      sys.env.get("SPARK_GRAFT_SEEN_COMPACT_EVERY").map(_.trim.toInt) match {
+        case Some(n) if n > 0 => n
+        case Some(_)          => Int.MaxValue // 0/negative = disabled
+        case None             => 16
+      }) {
   def configHash: String =
     java.lang.Long.toHexString(graft.functions.ExprImpl.hashCfg(
       s"$seeds|$filter|$maxSeen|$hostBudget|$maxDepth|$respectRobots"))
@@ -117,8 +132,13 @@ object Crawler {
     * the pages table (north_rule N2; same parse as the oracle). */
   def robotsTable(pages: DataFrame): DataFrame =
     pages.filter(col("url").endsWith("/robots.txt"))
+      // cast, not decode(…, 'UTF-8'): under ANSI mode (Spark 4 default)
+      // decode THROWS on malformed byte sequences, so one binary blob
+      // served at /robots.txt would abort the whole crawl; the binary→
+      // string cast decodes leniently (replacement chars), which at worst
+      // mis-parses that one host's rules
       .select(gfn.url_host(col("url")).as("host"),
-        explode(split(decode(col("html"), "UTF-8"), "\n")).as("line"))
+        explode(split(col("html").cast("string"), "\n")).as("line"))
       .select(col("host"), trim(col("line")).as("line"))
       .filter(lower(col("line")).startsWith("disallow:"))
       .select(col("host"), trim(substring(col("line"), 10, 100000)).as("prefix"))
@@ -195,6 +215,14 @@ object Crawler {
                           cfg: CrawlConfig, resume: Boolean): CrawlResult = {
     import spark.implicits._
     val log = cfg.workDir.map(new SnapshotLog(_))
+    // WRITE-FENCE token: all data files this run writes (seen deltas,
+    // frontier snapshots) carry a per-run suffix, so a run that will LOSE
+    // the manifest CAS (stale resumer, concurrent writer, accidental
+    // fresh run on a used workDir) can never overwrite data files already
+    // referenced by committed manifests — the loser's files are merely
+    // orphaned. Readers always go through manifest-recorded paths.
+    val runToken = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() | 1L)
     val bloomShape = Bloom.shapeFor(cfg.bloomExpectedItems, cfg.bloomFpp)
     var driverBloom = new Bloom(bloomShape._1, bloomShape._2)
 
@@ -227,6 +255,14 @@ object Crawler {
     val resumeState = if (resume) log.flatMap(_.latest) else None
     resumeState match {
       case Some(snap) =>
+        // the manifest records the config the chain was built under; a
+        // resume with different seeds/filter/budget/depth would silently
+        // mix incompatible crawl state — fail loudly instead
+        require(snap.configHash == cfg.configHash,
+          s"resume config mismatch: snapshot v${snap.id} was written under " +
+            s"configHash=${snap.configHash}, current config hashes to " +
+            s"${cfg.configHash} — resume with the original CrawlConfig or " +
+            "start a fresh workDir")
         round = snap.round + 1
         resumedFrom = round
         snapshotId = snap.id + 1
@@ -387,7 +423,7 @@ object Crawler {
         // --- persist the round: snapshot delta or in-memory checkpoint -----
         val (newSeenStable, lineage) = log match {
           case Some(l) =>
-            val deltaPath = s"${l.dir}/seen/delta_r$round"
+            val deltaPath = s"${l.dir}/seen/delta_r${round}_$runToken"
             newSeen.write.mode("overwrite").parquet(deltaPath)
             seenDeltaPaths = seenDeltaPaths :+ deltaPath
             val back = spark.read.parquet(deltaPath)
@@ -466,7 +502,7 @@ object Crawler {
 
         val frontierNext = log match {
           case Some(l) =>
-            val p = s"${l.dir}/frontier/r$round"
+            val p = s"${l.dir}/frontier/r${round}_$runToken"
             frontierNextRaw.write.mode("overwrite").parquet(p)
             spark.read.parquet(p)
           case None =>
@@ -518,7 +554,7 @@ object Crawler {
         metrics += m
         log.foreach { l =>
           l.commit(Snapshot(snapshotId, snapshotId - 1, round, seenDeltaPaths,
-            s"${l.dir}/frontier/r$round", seenCount, cfg.configHash, m, lineage))
+            s"${l.dir}/frontier/r${round}_$runToken", seenCount, cfg.configHash, m, lineage))
           snapshotId += 1
         }
 

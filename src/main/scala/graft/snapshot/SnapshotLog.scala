@@ -69,12 +69,21 @@ final class SnapshotLog(val dir: String) {
     if (ids.isEmpty) None else Some(read(ids.max))
   }
 
-  def listIds: Vector[Int] =
-    Files.list(snapDir).iterator().asScala
+  def listIds: Vector[Int] = {
+    // close the directory stream (latest → listIds runs once per crawl
+    // round; an unclosed Files.list holds an fd until GC — a long crawl
+    // with a big, rarely-collected heap exhausts the ulimit), and accept
+    // only STRICTLY numeric v<N>.json names (a stray vbackup.json from
+    // manual debugging must not NumberFormatException-brick every
+    // latest/commit on the store)
+    val s = Files.list(snapDir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .collect { case n if n.matches("v\\d+\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
       .toVector.sorted
+    finally s.close()
+  }
 
   def read(id: Int): Snapshot = {
     implicit val fmt: Formats = DefaultFormats
