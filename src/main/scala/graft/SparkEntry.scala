@@ -261,15 +261,30 @@ object SparkEntry {
 
     // ---------------- joins (J1-J8 shapes) ---------------------------------
     "q_join_revenue" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        // round_exact: at sf0.1 one line's revenue straddled the 2-dp cent
-        // boundary between Spark round() and DuckDB ROUND (expressions.scala
-        // roundExact scaladoc); printf('%.2f') mirrors it in the oracle
-        .withColumn("rev", gfn.round_exact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
-          .cast("decimal(18,2)"))
-      li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      // round-7 (guide §2.3 — aggregate before you shuffle/join): lineitem
+      // is pre-aggregated per l_orderkey BEFORE the orders join, so the
+      // join probes one row per order instead of one per line item and the
+      // exchange carries the ~4×-smaller aggregated rows. Exactly
+      // equivalent to joining raw lines and aggregating after: decimal
+      // sums are exact and associative, and the outer
+      // groupBy(o_orderkey, o_orderpriority) re-aggregation reproduces the
+      // original semantics even under duplicate orderkeys on the orders
+      // side (each duplicate receives the same per-order partial sums the
+      // raw rows would have contributed).
+      // round_exact: at sf0.1 one line's revenue straddled the 2-dp cent
+      // boundary between Spark round() and DuckDB ROUND (expressions.scala
+      // roundExact scaladoc); printf('%.2f') mirrors it in the oracle
+      val liAgg = t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          gfn.round_exact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .cast("decimal(18,2)").as("rev"))
+        .groupBy("l_orderkey")
+        .agg(sum("rev").as("rev_sum"), count(lit(1)).as("cnt"))
+      liAgg.join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(sum("rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum("rev_sum").cast("double").as("revenue"),
+          sum("cnt").as("n_items"))
         .orderBy(desc("revenue"), asc("o_orderkey"))
         .limit(100)
     }),

@@ -34,6 +34,25 @@ import graft.gfn
   */
 object TrainingOps {
 
+  /** Plan-audit hook for the EAGER ops: their returned DataFrames are
+    * already-materialized LocalRelations/LogicalRDDs, so the interesting
+    * physical plan must be captured BEFORE the materialization. When
+    * GRAFT_PLAN_DUMP_DIR is set, writes `df.explain("formatted")` there
+    * (suffix from GRAFT_PLAN_SUFFIX); otherwise a no-op. Plan-only — never
+    * executes the query. */
+  private def planDump(name: String, df: DataFrame): Unit =
+    sys.env.get("GRAFT_PLAN_DUMP_DIR").foreach { dir =>
+      try {
+        val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        val s = df.queryExecution.explainString(mode)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir,
+          s"$name${sys.env.getOrElse("GRAFT_PLAN_SUFFIX", "")}.txt"), s)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[planDump] $name failed: ${e.getMessage}")
+      }
+    }
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
@@ -202,17 +221,31 @@ object TrainingOps {
     * rows with the default cap), so it is COLLECTED to the driver: capping
     * is then observable (a WARN names the op and the dropped-key count —
     * silent recall loss was the round-2 ADVICE finding) and the anti-join
-    * probe is a guaranteed-broadcast local relation. maxDf <= 0 disables. */
-  private def capHotKeys(df: DataFrame, maxDf: Long, keys: String*): DataFrame =
-    capHotKeysEx(df, maxDf, keys: _*)._1
+    * probe is a guaranteed-broadcast local relation. maxDf <= 0 disables.
+    *
+    * `keyDfBound` (round-7, guide §2.4 — remove shuffles outright): an
+    * a-priori upper bound on any key's df, when the CALLER can prove one.
+    * Every pairwise op here derives its bucket keys DISTINCT-PER-SOURCE-ROW
+    * (shingles are list_distinct per doc, band/block keys appear once per
+    * (doc, band), winnow fingerprints are deduplicated per doc), so
+    * df(key) ≤ #source rows. When that bound is ≤ maxDf the hot-key scan
+    * provably returns empty and is SKIPPED — at fixture/bench corpus sizes
+    * this removes a full groupBy-shuffle + driver collect per op, while at
+    * production scale (#rows > maxDf) the scan runs exactly as before.
+    * Pass a negative bound when no bound is known. */
+  private def capHotKeys(df: DataFrame, maxDf: Long, keyDfBound: Long,
+                         keys: String*): DataFrame =
+    capHotKeysEx(df, maxDf, keyDfBound, keys: _*)._1
 
   /** [[capHotKeys]] plus the dropped-keys table itself (a tiny broadcast
     * local relation, or None when nothing was capped) — for ops that must
     * CORRECT their per-pair counts for the dropped keys rather than merely
     * losing hot-only candidates (jaccardPairs/winnowPairs). */
-  private def capHotKeysEx(df: DataFrame, maxDf: Long, keys: String*)
+  private def capHotKeysEx(df: DataFrame, maxDf: Long, keyDfBound: Long,
+                           keys: String*)
       : (DataFrame, Option[DataFrame]) = {
     if (maxDf <= 0L) (df, None)
+    else if (keyDfBound >= 0L && keyDfBound <= maxDf) (df, None)
     else {
       val hot = df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
@@ -270,10 +303,14 @@ object TrainingOps {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxShingleDf: Long = DefaultMaxBucketDf): DataFrame = {
     val arrs = shingleArrays(docs).persist()
+    // materialize the persist AND bound the hot-key scan in one cheap job:
+    // shingles are distinct per doc, so df(shingle) ≤ nDocs — when nDocs ≤
+    // maxShingleDf the scan cannot fire and capHotKeysEx skips it (§2.4)
+    val nDocs = arrs.count()
     val sizes = arrs.select(col("doc_id"), size(col("shingles")).as("sz"))
     val exploded0 =
       arrs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val (sh, hotOpt) = capHotKeysEx(exploded0, maxShingleDf, "shingle")
+    val (sh, hotOpt) = capHotKeysEx(exploded0, maxShingleDf, nDocs, "shingle")
     val a = sh.toDF("a", "shingle")
     val b = sh.toDF("b", "shingle")
     val interSub = a.join(b, "shingle").filter(col("a") < col("b"))
@@ -306,6 +343,7 @@ object TrainingOps {
     // must not accumulate cached plans (round-2 ADVICE leak class); the
     // checkpoint blocks are ContextCleaner-managed, unlike CacheManager
     // entries which pin until an explicit unpersist
+    planDump("q_jaccard_pairs", result)
     val out = result.localCheckpoint(true)
     arrs.unpersist()
     out
@@ -343,6 +381,10 @@ object TrainingOps {
     // it has three consumers (hot-key scan + both self-join sides), so
     // persist it; recomputing it per consumer dominated the op's cost
     val sig = minhashSignatures(docs, k).persist()
+    // materialize the persist and bound the hot-key scan in one job: one
+    // signature row per doc and one (band, sig) key per (doc, band), so
+    // df(band, sig) ≤ nDocs — at nDocs ≤ maxBandDf the scan is skipped
+    val nDocs = sig.count()
     // one pass + posexplode (a per-band union would recompute the k
     // signature hashes once PER BAND)
     val bandCols = (0 until k / rowsPerBand).map { bnd =>
@@ -350,12 +392,13 @@ object TrainingOps {
     }
     val bands = sig
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-    val capped = capHotKeys(bands, maxBandDf, "band", "sig")
+    val capped = capHotKeys(bands, maxBandDf, nDocs, "band", "sig")
     val l = capped.toDF("a", "band", "sig")
     val r = capped.toDF("b", "band", "sig")
     val result = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
       .orderBy("a", "b")
+    planDump("q_minhash_lsh", result)
     val out = result.localCheckpoint(true) // release the cache (leak hygiene)
     sig.unpersist()
     out
@@ -466,8 +509,11 @@ object TrainingOps {
     val nBlocks = maxHamming + 1
     val starts = (0 to nBlocks).map(i => i * 64 / nBlocks)
     // fingerprints are one LONG per doc but may be expensive upstream
-    // (a simhash over every token) — persist for the three consumers
+    // (a simhash over every token) — persist for the three consumers;
+    // the count materializes it and bounds the hot-key scan (one (q,
+    // bucket) key per (doc, block) ⇒ df ≤ nDocs — scan skipped when ≤ cap)
     val fps = sims.persist()
+    val nDocs = fps.count()
     // one pass + posexplode (a per-block union would recompute the
     // fingerprint once PER BLOCK)
     val blockCols = (0 until nBlocks).map { q =>
@@ -478,7 +524,7 @@ object TrainingOps {
     }
     val blocked = fps.select(col("doc_id"), col("sh"),
       posexplode(array(blockCols: _*)).as(Seq("q", "bucket")))
-    val capped = capHotKeys(blocked, maxBucketDf, "q", "bucket")
+    val capped = capHotKeys(blocked, maxBucketDf, nDocs, "q", "bucket")
     val l = capped.toDF("a", "sha", "q", "bucket")
     val r = capped.toDF("b", "shb", "q", "bucket")
     val result = l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
@@ -487,6 +533,7 @@ object TrainingOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
+    planDump("q_simhash_pairs", result)
     val out = result.localCheckpoint(true)
     fps.unpersist()
     out
@@ -508,7 +555,11 @@ object TrainingOps {
     // costs a full rolling-hash pass to build — persist for the hot-key
     // scan + both join sides
     val posting = spread(docs).select(col("doc_id"), explode(fpsExpr).as("fp")).persist()
-    val (fp, hotOpt) = capHotKeysEx(posting, maxFpDf, "fp")
+    // winnow fingerprints are deduplicated per doc ⇒ df(fp) ≤ nDocs; the
+    // bound skips the hot-key scan at sub-cap corpus sizes (§2.4). docs is
+    // typically a parquet scan, so the count is metadata-cheap.
+    val nDocs = docs.count()
+    val (fp, hotOpt) = capHotKeysEx(posting, maxFpDf, nDocs, "fp")
     val l = fp.toDF("a", "fp")
     val r = fp.toDF("b", "fp")
     val sharedSub = l.join(r, "fp").filter(col("a") < col("b"))
@@ -529,6 +580,7 @@ object TrainingOps {
     val result = shared
       .filter(col("shared") >= minShared)
       .orderBy("a", "b")
+    planDump("q_winnow_pairs", result)
     val out = result.localCheckpoint(true)
     posting.unpersist()
     out
@@ -556,11 +608,12 @@ object TrainingOps {
     // both block values packed into one 64-bit key (widths ≤ 32);
     // single pass + posexplode over all C(b,2) block-pair keys
     val fps = sims.persist() // three consumers, expensive upstream
+    val nDocs = fps.count() // materialize + hot-scan bound (df ≤ nDocs)
     val pairCols = (for { i <- 0 until nBlocks; j <- i + 1 until nBlocks }
       yield shiftleft(block(i), 32).bitwiseOR(block(j)))
     val keyed = fps.select(col("doc_id"), col("sh"),
       posexplode(array(pairCols: _*)).as(Seq("q", "bucket")))
-    val capped = capHotKeys(keyed, maxBucketDf, "q", "bucket")
+    val capped = capHotKeys(keyed, maxBucketDf, nDocs, "q", "bucket")
     val l = capped.toDF("a", "sha", "q", "bucket")
     val r = capped.toDF("b", "shb", "q", "bucket")
     val result = l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))
@@ -569,6 +622,7 @@ object TrainingOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
+    planDump("q_simhash_pairs_2stage", result)
     val out = result.localCheckpoint(true)
     fps.unpersist()
     out
@@ -626,6 +680,7 @@ object TrainingOps {
     def block(q: Int): Column =
       sliceBitsWide(col("sh"), starts(q), starts(q + 1) - starts(q))
     val fps = sims.persist()
+    val nDocs = fps.count() // materialize + hot-scan bound (df ≤ nDocs)
     val keyCols: Seq[Column] =
       if (twoStage)
         for { i <- 0 until nBlocks; j <- i + 1 until nBlocks }
@@ -634,7 +689,7 @@ object TrainingOps {
         (0 until nBlocks).map(q => struct(block(q).as("b1"), lit(0L).as("b2")))
     val keyed = fps.select(col("doc_id"), col("sh"),
       posexplode(array(keyCols: _*)).as(Seq("q", "bucket")))
-    val capped = capHotKeys(keyed, maxBucketDf, "q", "bucket")
+    val capped = capHotKeys(keyed, maxBucketDf, nDocs, "q", "bucket")
     val l = capped.toDF("a", "sha", "q", "bucket")
     val r = capped.toDF("b", "shb", "q", "bucket")
     val result = l.join(r, Seq("q", "bucket")).filter(col("a") < col("b"))

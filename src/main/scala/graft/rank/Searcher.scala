@@ -31,13 +31,14 @@ import graft.text.TextPipeline
 object Searcher {
 
   final case class Prepared(index: IndexTables, ranks: DataFrame, maxPR: Double,
-                            statics: DataFrame, serve: SparkSession,
-                            viewNames: Seq[String]) {
-    /** Release the cached rank + statics tables and the global temp views
-      * backing the serve session — a long-lived serving session should
-      * close() retired Prepared instances or cached plans accumulate. */
+                            statics: DataFrame, postingsTfidf: DataFrame,
+                            serve: SparkSession, viewNames: Seq[String]) {
+    /** Release the cached rank + statics + postings⋈tfidf tables and the
+      * global temp views backing the serve session — a long-lived serving
+      * session should close() retired Prepared instances or cached plans
+      * accumulate. */
     def close(): Unit = {
-      ranks.unpersist(); statics.unpersist()
+      ranks.unpersist(); statics.unpersist(); postingsTfidf.unpersist()
       viewNames.foreach(serve.catalog.dropGlobalTempView)
       ()
     }
@@ -74,42 +75,87 @@ object Searcher {
     val serve = parent.newSession()
     // builder-level confs propagate to new sessions via the SparkContext
     // conf; runtime-set keys the serve path depends on are copied explicitly
-    Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
+    Seq("spark.sql.session.timeZone",
         "spark.sql.ansi.enabled", "spark.sql.autoBroadcastJoinThreshold")
       .foreach(k => parent.conf.getOption(k).foreach(serve.conf.set(k, _)))
     serveConf(parent).foreach { case (k, v) => serve.conf.set(k, v) }
+    // serve-side shuffle partitioning is DERIVED from the index size
+    // (round 7, guide §2 scale-adaptive partitioning): the per-query
+    // matched set is ≤ n docs, so a small index stops paying a
+    // cluster-width task wave per tiny shuffle stage while a 10⁸-doc index
+    // keeps the parent's full parallelism (~50k docs/partition, capped at
+    // the parent's configured shuffle partitions).
+    val parentSp = parent.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(parent.sparkContext.defaultParallelism)
+    val serveSp = math.max(1L,
+      math.min(parentSp.toLong, (index.n + 49999L) / 50000L)).toInt
+    serve.conf.set("spark.sql.shuffle.partitions", serveSp.toString)
 
     val id = prepareIds.incrementAndGet()
     var views = List.empty[String]
+    var caches = List.empty[DataFrame]
     def rebind(df: DataFrame, name: String): DataFrame = {
       val vn = s"graft_serve_${id}_$name"
       df.createOrReplaceGlobalTempView(vn)
       views ::= vn
       serve.table(s"global_temp.$vn")
     }
-    val sIdx = IndexTables(
-      urlDict = rebind(index.urlDict, "url_dict"),
-      links = rebind(index.links, "links"),
-      docWords = rebind(index.docWords, "doc_words"),
-      wordDict = rebind(index.wordDict, "word_dict"),
-      postings = rebind(index.postings, "postings"),
-      maxTf = rebind(index.maxTf, "max_tf"),
-      tfidf = rebind(index.tfidf, "tfidf"),
-      docLen = rebind(index.docLen, "doc_len"),
-      urlInfo = rebind(index.urlInfo, "url_info"),
-      n = index.n,
-      urlWordCount = rebind(index.urlWordCount, "url_word_count"))
-    val sRanks = rebind(cached, "ranks")
+    // any failure after the first rebind must drop the views and caches
+    // created so far — Prepared was never constructed, so the caller has
+    // no close() handle to release them (ADVICE r6 #4)
+    try {
+      val sIdx = IndexTables(
+        urlDict = rebind(index.urlDict, "url_dict"),
+        links = rebind(index.links, "links"),
+        docWords = rebind(index.docWords, "doc_words"),
+        wordDict = rebind(index.wordDict, "word_dict"),
+        postings = rebind(index.postings, "postings"),
+        maxTf = rebind(index.maxTf, "max_tf"),
+        tfidf = rebind(index.tfidf, "tfidf"),
+        docLen = rebind(index.docLen, "doc_len"),
+        urlInfo = rebind(index.urlInfo, "url_info"),
+        n = index.n,
+        urlWordCount = rebind(index.urlWordCount, "url_word_count"))
+      val sRanks = rebind(cached, "ranks")
 
-    val statics = sIdx.maxTf
-      .join(sRanks, Seq("url_id"), "left")
-      .join(sIdx.urlInfo.select("url_id", "title"), Seq("url_id"))
-      .join(sIdx.urlDict.select("url_id", "url"), Seq("url_id"))
-      .select(col("url_id"), col("max_tf"),
-        coalesce(col("rank"), lit(0.0)).as("rank"), col("title"), col("url"))
-      .cache()
-    statics.count(): Unit // materialize once, outside the first query's wall
-    Prepared(sIdx, cached, maxPR, statics, serve, views)
+      // statics now folds in EVERY query-invariant per-doc value the serve
+      // path consumes (round 7): doc length (the normalizer divisor — was a
+      // separate per-query join), the tokenized + lowercased title (was
+      // re-tokenized per matched doc on every query). docLen's keyset
+      // equals maxTf's (both derive from the postings-bearing docs), so the
+      // inner join changes no rows.
+      val statics = sIdx.maxTf
+        .join(sRanks, Seq("url_id"), "left")
+        .join(sIdx.urlInfo.select("url_id", "title"), Seq("url_id"))
+        .join(sIdx.urlDict.select("url_id", "url"), Seq("url_id"))
+        .join(sIdx.docLen, Seq("url_id"))
+        .select(col("url_id"), col("max_tf"),
+          coalesce(col("rank"), lit(0.0)).as("rank"), col("title"), col("url"),
+          col("len"),
+          gfn.tokenize_words(col("title")).as("title_toks"),
+          lower(col("title")).as("title_lc"))
+        .cache()
+      caches ::= statics
+      statics.count(): Unit // materialize once, outside the first query's wall
+
+      // the single-word scoring path joins postings⋈tfidf on the SAME
+      // (url_id, word_id) key on every query — pre-join it once here (the
+      // prepared-statement trade again; one serving-index-sized cache)
+      val postingsTfidf = sIdx.postings
+        .join(sIdx.tfidf, Seq("url_id", "word_id"))
+        .select(col("word_id"), col("url_id"), col("tf"), col("tfidf_r6"))
+        .cache()
+      caches ::= postingsTfidf
+      postingsTfidf.count(): Unit
+
+      Prepared(sIdx, cached, maxPR, statics, postingsTfidf, serve, views)
+    } catch { case e: Throwable =>
+      caches.foreach(c => scala.util.Try(c.unpersist()))
+      views.foreach(v => scala.util.Try(serve.catalog.dropGlobalTempView(v)))
+      scala.util.Try(cached.unpersist())
+      throw e
+    }
   }
 
   private def emptyResult(spark: SparkSession): DataFrame = {
@@ -177,15 +223,16 @@ object Searcher {
 
     val queryLength = math.sqrt(idGroups.map(_.size).sum.toDouble)
 
-    // -- single-word contributions: one broadcast join over postings --------
+    // -- single-word contributions: one broadcast join over the PREPARED
+    // postings⋈tfidf table (the per-query (url_id, word_id) join moved
+    // into prepare(), round 7) --------------------------------------------
     val singles = idGroups.filter(_.size == 1).map(_.head)
       .groupBy(identity).map { case (w, occ) => (w, occ.size) }.toSeq
     val singleScores: Option[DataFrame] =
       if (singles.isEmpty) None
       else {
         val sdf = broadcast(singles.toDF("word_id", "mult"))
-        Some(idx.postings.join(sdf, Seq("word_id"))
-          .join(idx.tfidf, Seq("url_id", "word_id"))
+        Some(p.postingsTfidf.join(sdf, Seq("word_id"))
           .select(col("url_id"),
             (col("mult") * col("tf") * col("tfidf_r6")).as("contrib")))
       }
@@ -213,9 +260,13 @@ object Searcher {
       .agg(sum("contrib").as("raw"))
 
     // -- normalization (Ranker.kt:92-95) ------------------------------------
-    val norm = rawScores.join(idx.docLen, Seq("url_id"))
-      .select(col("url_id"),
-        (col("raw") / (col("len") * lit(queryLength))).as("score"))
+    // ONE join against the prepared statics table per query (round 7):
+    // statics now carries the doc length too, so the normalizer and the
+    // final scoring share a single url_id join instead of two. The cache
+    // cut moves here — same dedup role the old `norm` cache played for the
+    // mean-score aggregate + scoring consumers.
+    val joined = rawScores.join(p.statics, Seq("url_id"))
+      .withColumn("score", col("raw") / (col("len") * lit(queryLength)))
       .cache()
 
     // meanScore (Σ score / 3n — identical arithmetic to the reference's
@@ -223,25 +274,23 @@ object Searcher {
     // instead of a driver collect: the whole SERP is then ONE Spark job
     // after the word-id lookup (was three — the serving-latency lever on
     // a batch engine, where job launch dominates at top-50 scale). The
-    // cache still deduplicates norm across its two consumers (aggregate
-    // + scoring join) inside that job.
-    val stats = norm.agg(
+    // statics join changes no rows vs aggregating over rawScores⋈docLen:
+    // statics' keyset equals docLen's (prepare() scaladoc).
+    val stats = joined.agg(
       (sum("score") / (count(lit(1)) * 3)).as("mean_score"))
 
     // -- final scoring (WebController.kt:60-83) ------------------------------
-    // one join against the prepared query-invariant statics table (max_tf,
-    // rank, title, url pre-joined + cached in prepare()) instead of four
+    // title_toks / title_lc are PRECOMPUTED in statics (query-invariant;
+    // the per-query tokenize of every matched title was pure serve tax)
     val stemsLit = typedlit(allStems)
-    val scored = norm
-      .join(p.statics, Seq("url_id"))
+    val scored = joined
       .crossJoin(broadcast(stats))
       .withColumn("cos", col("score") / col("max_tf"))
       .withColumn("pr", col("rank") / lit(p.maxPR * 3))
-      .withColumn("title_toks", gfn.tokenize_words(col("title")))
       .withColumn("title_score",
         size(filter(stemsLit, t =>
           array_contains(col("title_toks"), t) ||
-            contains(lower(col("title")), t))) * col("mean_score"))
+            contains(col("title_lc"), t))) * col("mean_score"))
       .withColumn("total", col("cos") + col("pr") + col("title_score"))
 
     // global top-K as a TakeOrderedAndProject (no single-partition sort
@@ -262,7 +311,7 @@ object Searcher {
     // leak one cached plan per failed query
     val collected =
       try ptime("serp collect") { top.collect() }
-      finally norm.unpersist()
+      finally joined.unpersist()
     if (collected.isEmpty) return emptyResult(spark) // pinned empty-SERP schema
     // re-assert the order driver-side (TakeOrderedAndProject returns rows
     // already ordered; this is a ≤ topK-element no-op guard, not a sort job)
