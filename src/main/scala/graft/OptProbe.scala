@@ -100,6 +100,45 @@ object OptProbe {
       t("joinrev preagg warm") { preagg().count() }
     }
 
+    if (which == "prodsplit") {
+      // decompose the prod-mode overhead (VERDICT r6 #4): one config
+      // dimension at a time on the bench corpus, 2 reps each, best-of
+      import graft.crawler.{CrawlConfig, Crawler}
+      val pages = spark.read.parquet("/tmp/graft-bench-pages-v3-400000")
+      val base = CrawlConfig(
+        seeds = Seq(graft.corpus.BenchCorpus.seedUrl),
+        filter = graft.corpus.BenchCorpus.filterPrefix,
+        bloomExpectedItems = 1L << 20, bloomMinSeen = 1L << 22,
+        broadcastMaxRows = 400000L, collectMetrics = false, pagesBuckets = 64)
+      def cpuSec(): Double =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          .getProcessCpuTime / 1e9
+      def crawl(tag: String, cfg: CrawlConfig, snap: Boolean): Unit = {
+        val best = (1 to 2).map { rep =>
+          val wd = if (snap) {
+            val d = java.nio.file.Files.createTempDirectory(s"prodsplit-$tag").toString
+            Some(d)
+          } else None
+          val c0 = cpuSec(); val t0 = System.nanoTime()
+          val r = Crawler.run(spark, pages, cfg.copy(workDir = wd))
+          val n = r.seen.count()
+          val s = (System.nanoTime() - t0) / 1e9
+          val c = cpuSec() - c0
+          println(f"[prodsplit] $tag rep$rep rounds=${r.rounds.size} n=$n wall=$s%.1f cpu=$c%.1f")
+          (s, c)
+        }.minBy(_._1)
+        println(f"[prodsplit] $tag BEST wall=${best._1}%.1f cpu=${best._2}%.1f")
+      }
+      crawl("mem", base, snap = false)
+      crawl("polite", base.copy(hostBudget = 16384), snap = false)
+      crawl("polite+robots", base.copy(hostBudget = 16384, respectRobots = true), snap = false)
+      crawl("polite+bloom", base.copy(hostBudget = 16384, bloomMinSeen = 100000L), snap = false)
+      crawl("polite+snap", base.copy(hostBudget = 16384), snap = true)
+      crawl("prod(all)", base.copy(hostBudget = 16384, respectRobots = true,
+        bloomMinSeen = 100000L), snap = true)
+    }
+
     if (which == "all" || which == "pagerank") {
       // demo-scale pagerank: AQE-on parent session vs AQE-off child session
       import spark.implicits._

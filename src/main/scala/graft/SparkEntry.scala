@@ -111,14 +111,40 @@ object SparkEntry {
   // memoized per session so Verify doesn't redo the crawl per query
   private var demoCache: Option[(SparkSession, DataFrame, graft.crawler.CrawlResult)] = None
   private var indexCache: Option[(SparkSession, graft.index.IndexTables, DataFrame)] = None
+  private var demoSessionCache: Option[(SparkSession, SparkSession)] = None
+
+  /** The demo corpus is FIXTURE-scale by construction (demoSpec: 3 hosts ×
+    * 8 pages), so its crawl/index pipeline on a 32-partition AQE query
+    * session pays almost pure per-stage scheduling latency (~11 s of the
+    * bench's serp_index_build wall, measured round 7). The pipeline runs
+    * on a DEDICATED child session — AQE off (fixed tiny stages; the same
+    * rationale as PageRankSpark's loop session and Searcher.serveConf) and
+    * shuffle partitioning DERIVED from the corpus size — never touching
+    * the caller's session conf. Production-scale pipelines do not come
+    * through this path (they build their own sessions, e.g. Bench). */
+  private def demoSession(spark: SparkSession): SparkSession = synchronized {
+    demoSessionCache match {
+      case Some((s, c)) if s eq spark => c
+      case _ =>
+        val child = spark.newSession()
+        Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled")
+          .foreach(k => spark.conf.getOption(k).foreach(child.conf.set(k, _)))
+        child.conf.set("spark.sql.adaptive.enabled", "false")
+        child.conf.set("spark.sql.shuffle.partitions",
+          math.max(2, demoCorpus.size / 16).toString)
+        demoSessionCache = Some((spark, child))
+        child
+    }
+  }
 
   private def crawlDemo(spark: SparkSession): (DataFrame, graft.crawler.CrawlResult) =
     synchronized {
       demoCache match {
         case Some((s, p, c)) if s eq spark => (p, c)
         case _ =>
-          val pages = demoPages(spark).cache()
-          val crawl = Crawler.run(spark, pages,
+          val s2 = demoSession(spark)
+          val pages = demoPages(s2).cache()
+          val crawl = Crawler.run(s2, pages,
             CrawlConfig(Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix))
           demoCache = Some((spark, pages, crawl))
           (pages, crawl)
@@ -131,7 +157,8 @@ object SparkEntry {
         case Some((s, i, r)) if s eq spark => (i, r)
         case _ =>
           val (pages, crawl) = crawlDemo(spark)
-          val index = Indexer.build(spark, pages, crawl.seen, TestCorpus.filterPrefix, 8)
+          val s2 = demoSession(spark)
+          val index = Indexer.build(s2, pages, crawl.seen, TestCorpus.filterPrefix, 8)
           val ranks = PageRankSpark.run(index.links, index.urlDict.select("url_id"), 40)
             .cache()
           indexCache = Some((spark, index, ranks))
@@ -492,9 +519,12 @@ object SparkEntry {
 
     "q_crawl_polite" -> ((s, _) => {
       // politeness budget + robots: discovered-but-never-fetched urls stay
-      // in the frontier (deterministic; fixture-matched to the oracle)
-      val pages = demoPages(s).cache()
-      val crawl = Crawler.run(s, pages, CrawlConfig(
+      // in the frontier (deterministic; fixture-matched to the oracle).
+      // Runs on the demo pipeline session (fixture-scale corpus — see
+      // demoSession) like the main demo crawl.
+      val s2 = demoSession(s)
+      val pages = demoPages(s2).cache()
+      val crawl = Crawler.run(s2, pages, CrawlConfig(
         Seq(TestCorpus.seedUrl), TestCorpus.filterPrefix,
         hostBudget = 2, respectRobots = true))
       crawl.frontier.select("url", "depth").orderBy("url")

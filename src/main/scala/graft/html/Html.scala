@@ -235,19 +235,25 @@ object Html {
   private def findTagEnd(html: String, start: Int): Int = {
     var i = start + 1
     var quote: Char = 0
+    var quoteOpen = -1
     var prevNonWs: Char = 0
     while (i < html.length) {
       val c = html.charAt(i)
       if (quote != 0) {
         if (c == quote) { quote = 0; prevNonWs = c }
       } else if ((c == '"' || c == '\'') && prevNonWs == '=') {
-        quote = c
+        quote = c; quoteOpen = i
       } else if (c == '>') {
         return i
       } else if (!Character.isWhitespace(c)) prevNonWs = c
       i += 1
     }
-    -1
+    // Unterminated quoted attribute value (ADVICE r6 #1): the scan ran off
+    // the document end still inside the quote. Degrade to the next raw '>'
+    // after the quote opened — the pre-quote-aware recovery — so a single
+    // unclosed quote costs ONE bad tag, not every remaining byte of text
+    // and links. A document with no '>' at all is genuinely truncated.
+    if (quote != 0) html.indexOf('>', quoteOpen) else -1
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {

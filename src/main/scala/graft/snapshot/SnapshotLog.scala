@@ -157,5 +157,22 @@ final class SnapshotLog(val dir: String) {
                 "writer — re-read latest and rebase")
         }
     } finally Files.deleteIfExists(tmp)
+    // Post-link re-verification (ADVICE r6 #3): pre-check + CREATE_NEW is
+    // not a true CAS — two writers committing DIFFERENT ids in the window
+    // between the `latest` pre-check and createLink could both land,
+    // silently forking the chain (which `latest` would then resolve by max
+    // id). After OUR manifest lands, re-read the id set: any OTHER id
+    // above our declared parent means a concurrent commit interleaved —
+    // withdraw our own manifest (never anyone else's) and conflict. Both
+    // racers may conflict (conservative, callers rebase); a silent fork
+    // can no longer survive. Costs one directory listing per commit.
+    val maxOther = listIds.filter(_ != s.id).maxOption
+    if (maxOther.exists(_ > s.parentId)) {
+      Files.deleteIfExists(snapDir.resolve(s"v${s.id}.json"))
+      throw new CommitConflictException(
+        s"snapshot v${s.id} (parent v${s.parentId}) interleaved with a " +
+          s"concurrent commit of v${maxOther.get} — commit withdrawn; " +
+          "re-read latest and rebase")
+    }
   }
 }

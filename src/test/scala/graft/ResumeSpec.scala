@@ -124,6 +124,66 @@ class ResumeSpec extends AnyFunSuite {
     assert(roundsOf(cross) == roundsOf(off))
   }
 
+  test("snapshot-mode seen-delta compaction: manifest path list bounded, " +
+       "kill past a compaction boundary + resume ≡ uninterrupted (r7)") {
+    // a 10-deep chain forces one round per page — enough rounds to cross
+    // the compaction period twice
+    val n = 10
+    def url(i: Int) = s"https://chain.test/p$i.html"
+    val rows = (0 until n).map { i =>
+      val html =
+        if (i + 1 < n) s"""<html><body><a href="p${i + 1}.html">n</a></body></html>"""
+        else "<html><body>end</body></html>"
+      graft.corpus.PageRow(url(i), new java.sql.Timestamp(0L),
+        html.getBytes("UTF-8"), "", "en")
+    }
+    val pages = spark.createDataset(rows).toDF()
+    val cfg0 = CrawlConfig(Seq(url(0)), ".test/", compactEvery = 3)
+
+    val full = Crawler.run(spark, pages, cfg0) // memory-mode reference
+
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val cfgK = cfg0.copy(maxRounds = 5, workDir = Some(dir))
+    val killed = Crawler.run(spark, pages, cfgK)
+    assert(killed.rounds.size == 5)
+    // the kill point is past a compaction boundary: the latest manifest's
+    // delta list must already be compacted (bounded ≤ compactEvery + 1,
+    // never the O(rounds) cumulative list)
+    val logAtKill = new SnapshotLog(dir)
+    val snapAtKill = logAtKill.latest.get
+    assert(snapAtKill.seenDeltaPaths.size <= cfg0.compactEveryEff + 1,
+      s"path list not compacted: ${snapAtKill.seenDeltaPaths.size} paths")
+
+    val resumed = Crawler.resume(spark, pages, cfgK.copy(maxRounds = Int.MaxValue))
+    assert(resumed.resumedFromRound == 5)
+    // identical final state vs the uninterrupted memory-mode run
+    assert(resumed.seen.select("url", "depth").as[(String, Int)].collect().toSet ==
+      full.seen.select("url", "depth").as[(String, Int)].collect().toSet)
+    // identical per-round trajectory after the kill point
+    val fullTail = full.rounds.drop(5).map(r => (r.round, r.selected, r.newSeen, r.seenTotal))
+    val resTail = resumed.rounds.map(r => (r.round, r.selected, r.newSeen, r.seenTotal))
+    assert(resTail == fullTail)
+    // every committed manifest stays bounded, including post-resume ones
+    val log = new SnapshotLog(dir)
+    log.listIds.map(log.read).foreach { s =>
+      assert(s.seenDeltaPaths.size <= cfg0.compactEveryEff + 1,
+        s"manifest v${s.id} holds ${s.seenDeltaPaths.size} delta paths")
+      // the chain stays READABLE: every referenced path exists
+      s.seenDeltaPaths.foreach(p => assert(new java.io.File(p).exists(), p))
+    }
+    // the seen table equals the union of the latest manifest's (compacted)
+    // deltas — content survives compaction exactly
+    val last = log.latest.get
+    assert(spark.read.parquet(last.seenDeltaPaths: _*).count() == last.seenCount)
+  }
+
+  test("CrawlConfig(compactEvery = 0) disables compaction instead of " +
+       "re-checkpointing every round (ADVICE r6 #2)") {
+    assert(CrawlConfig(Seq("x"), "f", compactEvery = 0).compactEveryEff == Int.MaxValue)
+    assert(CrawlConfig(Seq("x"), "f", compactEvery = -3).compactEveryEff == Int.MaxValue)
+    assert(CrawlConfig(Seq("x"), "f", compactEvery = 4).compactEveryEff == 4)
+  }
+
   test("deep crawl (45 rounds, memory mode): seen plan stays FLAT via delta " +
        "compaction, result exact") {
     // a 45-deep page chain forces one round per page — the worst case for

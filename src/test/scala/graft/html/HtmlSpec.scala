@@ -107,6 +107,15 @@ class HtmlSpec extends AnyFunSuite {
     // a lone quote in a weird place must not quote the rest of the page
     val q = Html.parse("""<p "oops>one</p><a href="y.html">two</a>""")
     assert(q.hrefs == Vector("y.html"))
+    // UNTERMINATED quoted value (ADVICE r6 #1): no closing quote anywhere
+    // after — degrades to ONE bad tag (recover at the next raw '>'), the
+    // rest of the document keeps its text and links
+    val r = Html.parse("""<a href='broken>gone</a> kept <a href=z.html>two</a>""")
+    assert(r.hrefs.contains("z.html"))
+    assert(r.text.contains("kept") && r.text.contains("two"))
+    // truly truncated document (no '>' after the quote) drops only the tag
+    val s = Html.parse("""text <a href="open""")
+    assert(s.text.trim == "text" && s.hrefs.isEmpty)
   }
 
   test("numeric refs outside the BMP decode to surrogate pairs; invalid " +
