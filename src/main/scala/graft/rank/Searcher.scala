@@ -303,6 +303,17 @@ object Searcher {
       .orderBy(desc("total"), asc("url_id"))
       .limit(topK)
 
+    // plan-audit hook (round 7): the returned SERP is a LocalRelation, so
+    // the serve's actual scoring plan must be captured here, pre-collect
+    sys.env.get("GRAFT_PLAN_DUMP_DIR").foreach { dir =>
+      try {
+        val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir,
+          s"q_serp${sys.env.getOrElse("GRAFT_PLAN_SUFFIX", "")}.txt"),
+          top.queryExecution.explainString(mode))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     // the SERP is ≤ topK rows — materialize it as a LocalRelation so the
     // per-query `norm` cache can be released immediately (a serving session
     // firing many queries must not accumulate cached plans), and downstream
