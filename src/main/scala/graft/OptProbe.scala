@@ -100,6 +100,20 @@ object OptProbe {
       t("joinrev preagg warm") { preagg().count() }
     }
 
+    if (which == "demo") {
+      // decompose the serp_index_build residual via the REAL memoized path
+      t("q_crawl_seen (demo crawl)") {
+        SparkEntry.queries("q_crawl_seen")(spark, sfDir).count() }
+      t("q_pagerank (index build + pagerank)") {
+        SparkEntry.queries("q_pagerank")(spark, sfDir).count() }
+      t("q_serp (prepare + first search)") {
+        SparkEntry.queries("q_serp")(spark, sfDir).count() }
+      t("q_serp warm") {
+        SparkEntry.queries("q_serp")(spark, sfDir).count() }
+      t("q_topk sf (warmup component)") {
+        SparkEntry.queries("q_topk")(spark, sfDir).count() }
+    }
+
     if (which == "prodsplit") {
       // decompose the prod-mode overhead (VERDICT r6 #4): one config
       // dimension at a time on the bench corpus, 2 reps each, best-of
