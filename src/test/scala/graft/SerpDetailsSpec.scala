@@ -82,6 +82,50 @@ class SerpDetailsSpec extends AnyFunSuite {
     prepared.close()
   }
 
+  test("concurrent serves on the dedicated session: two racing search() " +
+       "calls while the parent runs an AQE query — results exact, parent " +
+       "conf untouched (r6 verdict #7)") {
+    val ranks = PageRankSpark.run(eIdx.links, eIdx.urlDict.select("url_id"), 40)
+    val prepared = Searcher.prepare(eIdx, ranks)
+    // reference results, computed single-threaded first
+    def serpOf(q: String): Seq[(Int, Long, Double)] =
+      Searcher.search(spark, prepared, q)
+        .select("rank", "url_id", "total")
+        .as[(Int, Long, Double)].collect().toSeq
+    val exp1 = serpOf("research systems")
+    val exp2 = serpOf("\"hong kong\" research")
+    val parentAqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val parentSpBefore = spark.conf.get("spark.sql.shuffle.partitions")
+
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, Double)]]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val t1 = new Thread(() => {
+      try { barrier.await(); results.put("q1", serpOf("research systems")) }
+      catch { case e: Throwable => errors.add(e) }
+    })
+    val t2 = new Thread(() => {
+      try { barrier.await(); results.put("q2", serpOf("\"hong kong\" research")) }
+      catch { case e: Throwable => errors.add(e) }
+    })
+    val t3 = new Thread(() => { // a PARENT-session AQE query racing the serves
+      try {
+        barrier.await()
+        (1 to 3).foreach { _ =>
+          pagesDf.groupBy(length(col("url")) % 7).count().collect()
+        }
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    Seq(t1, t2, t3).foreach(_.start()); Seq(t1, t2, t3).foreach(_.join())
+    assert(errors.isEmpty, s"concurrent serve threw: ${errors.peek()}")
+    assert(results.get("q1") == exp1, "racing serve changed q1's SERP")
+    assert(results.get("q2") == exp2, "racing serve changed q2's SERP")
+    // the parent session's conf was never touched by the serves
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == parentAqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parentSpBefore)
+    prepared.close()
+  }
+
   test("S6: quoted-CSV fixture encoding matches the reference's opencsv form") {
     val df = Seq((Seq(3L, 17L, 42L), Seq("a", "b"))).toDF("ids", "ws")
     val got = df.select(Indexer.csvQuoted(col("ids")).as("c1"),
