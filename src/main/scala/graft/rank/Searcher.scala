@@ -32,7 +32,8 @@ object Searcher {
 
   final case class Prepared(index: IndexTables, ranks: DataFrame, maxPR: Double,
                             statics: DataFrame, postingsTfidf: DataFrame,
-                            serve: SparkSession, viewNames: Seq[String]) {
+                            serve: SparkSession, viewNames: Seq[String],
+                            wordIdLocal: Option[Map[String, Long]] = None) {
     /** Release the cached rank + statics + postings⋈tfidf tables and the
       * global temp views backing the serve session — a long-lived serving
       * session should close() retired Prepared instances or cached plans
@@ -149,7 +150,20 @@ object Searcher {
       caches ::= postingsTfidf
       postingsTfidf.count(): Unit
 
-      Prepared(sIdx, cached, maxPR, statics, postingsTfidf, serve, views)
+      // serving-side term dictionary (round 7, size-adaptive): resolving
+      // query stems to word ids was a distributed filter+collect JOB on
+      // every serve. A real serving tier holds the term dictionary in
+      // memory when it fits; ≤ 1M terms (~tens of MB) collects to a driver
+      // map here, larger vocabularies keep the distributed lookup — the
+      // same scale-adaptive trade as the statics cache.
+      val wordIdLocal =
+        if (sIdx.wordDict.count() <= 1000000L)
+          Some(sIdx.wordDict.collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        else None
+
+      Prepared(sIdx, cached, maxPR, statics, postingsTfidf, serve, views,
+        wordIdLocal)
     } catch { case e: Throwable =>
       caches.foreach(c => scala.util.Try(c.unpersist()))
       views.foreach(v => scala.util.Try(serve.catalog.dropGlobalTempView(v)))
@@ -207,9 +221,15 @@ object Searcher {
     val groups = TextPipeline.tokenizeQuery(query)
     if (groups.isEmpty) return emptyResult(spark)
     val allStems = groups.flatten
-    val wordIdMap = ptime("wordId lookup") { idx.wordDict
-      .filter(col("word").isInCollection(allStems.distinct))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap }
+    val wordIdMap = ptime("wordId lookup") {
+      p.wordIdLocal match {
+        case Some(dict) => // prepared in-memory dictionary (small vocab)
+          allStems.distinct.flatMap(s => dict.get(s).map(s -> _)).toMap
+        case None => idx.wordDict
+          .filter(col("word").isInCollection(allStems.distinct))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    }
 
     // findWordId with the phrase-kill rule (Ranker.kt:100-119)
     val idGroups: List[Vector[Long]] = groups.flatMap { g =>
