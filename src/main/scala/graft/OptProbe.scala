@@ -100,6 +100,29 @@ object OptProbe {
       t("joinrev preagg warm") { preagg().count() }
     }
 
+    if (which == "cosine") {
+      // dot-product kernel A/B: codegen'd expression vs the HOF form, on
+      // the exact all-pairs op (the dot-dominated extreme)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      emb.count()
+      def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      def pairsWith(dotf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = {
+        val e = emb.repartition(cpus).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val a = e.toDF("a", "va")
+        val b = e.toDF("b", "vb")
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .withColumn("cos", gfn.round_exact(dotf(col("va"), col("vb")) /
+            (sqrt(dotf(col("va"), col("va"))) * sqrt(dotf(col("vb"), col("vb")))), 4))
+          .filter(col("cos") >= 0.4).count()
+      }
+      t("cosine_pairs HOF dot cold") { pairsWith(hofDot) }
+      t("cosine_pairs HOF dot warm") { pairsWith(hofDot) }
+      t("cosine_pairs codegen dot cold") { pairsWith(gfn.dot_product) }
+      t("cosine_pairs codegen dot warm") { pairsWith(gfn.dot_product) }
+    }
+
     if (which == "demo") {
       // decompose the serp_index_build residual via the REAL memoized path
       t("q_crawl_seen (demo crawl)") {

@@ -50,6 +50,8 @@ object gfn {
     column(SrpSketchNExpr(expression(vec), words))
   def hamming_words(a: Column, b: Column): Column =
     column(HammingWordsExpr(expression(a), expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProductExpr(expression(a), expression(b)))
 
   /** Bloom aggregate over a LONG hash column; shape from expected items/fpp. */
   def bloom_agg(hash: Column, expectedItems: Long, fpp: Double): Column = {
@@ -102,6 +104,8 @@ object gfn {
         foldableIntArg("srp_sketch_n", "words", es(1))), "built-in")
     reg.createOrReplaceTempFunction("hamming_words",
       es => HammingWordsExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProductExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("extract_links",
       es => ExtractLinksExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("count_phrase",

@@ -233,6 +233,30 @@ object TextExprImpl {
 
   /** Hamming distance between two equal-length ARRAY<LONG> bit sketches
     * (XOR + popcount per word; extra words on the longer side ignored). */
+  /** Index-order dot product of two ARRAY<DOUBLE>s — BIT-IDENTICAL to the
+    * higher-order-function form it replaces,
+    * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,v) => acc+v)`:
+    * same left fold, same IEEE operation sequence (0.0 + a0·b0) + a1·b1 …
+    * That form evaluates its lambdas INTERPRETED per element (the known
+    * HOF cost — see minhash_sigs / trigramShingles history), which made
+    * the O(n·d) dot products the dominant CPU of the cosine family
+    * (brute-force top-k, exact pairs, LSH verify, IVF assignment).
+    * Null semantics mirrored exactly: unequal lengths or a null element
+    * yield NULL (zip_with pads the shorter side with null and a null
+    * poisons the fold). */
+  def dotProduct(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   def hammingWords(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var h = 0
@@ -352,6 +376,42 @@ case class HammingWordsExpr(left: Expression, right: Expression) extends BinaryE
     TextExprImpl.hammingWords(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextExprImpl.hammingWords($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dot_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) → DOUBLE` — codegen'd
+  * index-order dot product (see [[TextExprImpl.dotProduct]] for the exact
+  * equivalence + null-semantics contract vs the HOF form it replaces). */
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExprImpl.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // boxed-null-aware codegen (the ExtractCopyrightDateExpr pattern):
+    // the result is NULL for unequal lengths / null elements even when
+    // both inputs are non-null, so defineCodeGen's non-null contract
+    // does not fit
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("dotBoxed")
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${l.isNull} && !${r.isNull}) {
+          java.lang.Double $boxed =
+            graft.functions.TextExprImpl.dotProduct(${l.value}, ${r.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }
+      """)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -735,8 +735,12 @@ object TrainingOps {
   // similarity search over embeddings
   // ------------------------------------------------------------------
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // codegen'd index-order dot product (round 7, guide §4): the previous
+  // `aggregate(zip_with(a, b, _*_), 0.0, _+_)` form evaluated its lambdas
+  // INTERPRETED per element and was the dominant CPU of every cosine op;
+  // gfn.dot_product is bit-identical (same left fold, same IEEE sequence,
+  // same null semantics — TextExprImpl.dotProduct scaladoc).
+  private def dot(a: Column, b: Column): Column = gfn.dot_product(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -21,6 +21,34 @@ class OpsSpec extends AnyFunSuite {
     (0 until 64).foldLeft(0L)((acc, b) => if (counts(b) > 0) acc | (1L << b) else acc)
   }
 
+  test("dot_product expression ≡ the HOF aggregate/zip_with form it " +
+       "replaced: bitwise-identical doubles, identical null semantics (r7)") {
+    val rnd = new scala.util.Random(20260822L)
+    val vecs: Seq[Seq[java.lang.Double]] = (0 until 50).map { _ =>
+      Seq.fill(1 + rnd.nextInt(160))(
+        java.lang.Double.valueOf((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(7) - 3)))
+    } ++ Seq(
+      Seq.empty[java.lang.Double],                 // empty × empty → 0.0
+      Seq(java.lang.Double.valueOf(1.5), null),    // null element → NULL
+      Seq(java.lang.Double.valueOf(2.5)))          // length mismatch (vs the 2-el row)
+    val pairs = for { a <- vecs; b <- vecs } yield (a, b)
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+        gfn.dot_product(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val fNull = r.isNullAt(0); val hNull = r.isNullAt(1)
+      assert(fNull == hNull, s"null-semantics divergence at pair $i: " +
+        s"fast=${if (fNull) "NULL" else r.getDouble(0)} hof=${if (hNull) "NULL" else r.getDouble(1)}")
+      if (!fNull)
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+               java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"bitwise divergence at pair $i: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("simhash expression == naive reference (both hash variants); near-dup property") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
